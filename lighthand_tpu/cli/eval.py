@@ -1,0 +1,108 @@
+"""Offline evaluation CLI — the wearable_eval_2d equivalent
+(src/tools/wearable_eval_2d.py:23-85): walk a checkpoint tree, run
+pred_store + pred_eval for threshold regimes pckb[0.1,0.3], mm[0,30],
+mm[0,50], and write semicolon-CSV ``pck_eval_*.txt`` rows
+(category;name;auc;epe;pck...).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+
+from lighthand_tpu.config import parse_args
+from lighthand_tpu.core.dtypes import DTypePolicy
+from lighthand_tpu.core.mesh import MeshSpec, create_mesh, replicated_sharding
+from lighthand_tpu.data import DevicePreprocessor, Loader, build_dataset
+from lighthand_tpu.eval.harness import pred_eval, pred_store
+from lighthand_tpu.models import get_model
+from lighthand_tpu.train.checkpoint import load_weights_only
+from lighthand_tpu.train.state import create_train_state
+from lighthand_tpu.train.step import make_predict_step
+from lighthand_tpu.utils.logging import colored
+
+THRESHOLD_REGIMES = [
+    ("pckb", [0.1, 0.3]),
+    ("mm", [0, 30]),
+    ("mm", [0, 50]),
+]
+
+
+def find_checkpoints(model_path: str):
+    """Collect checkpoint dirs under a run tree (reference collected *.bin,
+    wearable_eval_2d.py:33-37; ours are orbax directories)."""
+    found = []
+    for root, dirs, _ in os.walk(model_path):
+        for d in dirs:
+            if d.startswith("checkpoint-"):
+                found.append(os.path.join(root, d))
+    return sorted(found)
+
+
+def main(argv=None) -> int:
+    cfg = parse_args(argv, phase="test")
+    cfg.eval.eval = True
+
+    mesh = create_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.model))
+    _, eval_src = build_dataset(cfg)
+
+    model_path = os.path.join("output", cfg.name.split("/")[0], "frei") \
+        if os.path.isdir(os.path.join("output", cfg.name.split("/")[0],
+                                      "frei")) \
+        else cfg.output_dir
+    ckpts = find_checkpoints(model_path) or find_checkpoints(cfg.root_path)
+    if not ckpts:
+        print(f"no checkpoints under {model_path}", file=sys.stderr)
+        return 1
+
+    policy = (DTypePolicy() if cfg.model.precision == "bf16"
+              else DTypePolicy.full_precision())
+    size = cfg.data.image_size
+    preprocess = DevicePreprocessor(jitter=False)
+    predict_step = make_predict_step(stride=size / cfg.data.heatmap_size)
+
+    for t_type, t_list in THRESHOLD_REGIMES:
+        rows = []
+        for ckpt in ckpts:
+            run_name = os.path.relpath(os.path.dirname(ckpt), cfg.root_path)
+            model_name = run_name.split("/")[0] \
+                if run_name.split("/")[0] in ("simplebaseline", "hrnet") \
+                else cfg.model.name
+            model = get_model(model_name, policy=policy)
+            state = create_train_state(model, jax.random.PRNGKey(0),
+                                       input_shape=(1, size, size, 3))
+            state = jax.device_put(state, replicated_sharding(mesh))
+            state = load_weights_only(state, ckpt)
+
+            loader = Loader(eval_src, cfg.data.batch_size, mesh=mesh,
+                            shuffle=False,
+                            num_workers=cfg.data.num_workers)
+            out_json = os.path.join("output", run_name, "evaluation.json")
+            pred_store(loader, lambda im: predict_step(state, im)[0],
+                       out_json, preprocess=preprocess,
+                       rng_key=jax.random.PRNGKey(1))
+            pck = pred_eval(out_json, t_list, t_type,
+                            compat_mean_epe=cfg.eval.compat_mean_epe)
+            rows.append((pck, run_name))
+
+        file_name = (f"pck_eval_{'_'.join(model_path.split('/')[1:])}"
+                     f"_{t_type}_{t_list[1]}.txt")
+        with open(file_name, "w") as f:
+            for total_pck, name in rows:
+                for p_type in total_pck:
+                    f.write("{};{};{:.2f};{:.2f};".format(
+                        p_type, name, total_pck[p_type][0],
+                        total_pck[p_type][1]))
+                    for idx, p in enumerate(total_pck[p_type][2]):
+                        f.write(f"{p:.2f};")
+                        if idx == len(total_pck[p_type][2]) - 1:
+                            f.write("\n")
+        print(colored(f"Writting ===> {os.path.abspath(file_name)}",
+                      "green"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

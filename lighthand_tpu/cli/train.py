@@ -1,0 +1,31 @@
+"""Training CLI — preserves the reference recipe surface
+(src/tools/train.py): e.g.
+
+    python -m lighthand_tpu.cli.train --root hrnet/frei --name 2d \
+        --epoch 100 --count 30 --batch_size 32 --lr 0.001 --reset --yes
+
+plus TPU extensions: --mesh-data/--mesh-model, --precision, --synthetic.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from lighthand_tpu.config import parse_args
+from lighthand_tpu.train.loop import train_from_config
+
+
+def main(argv=None) -> int:
+    cfg = parse_args(argv, phase="train")
+    result = train_from_config(cfg)
+    print(
+        f"done: train_loss={result.train_loss:.6f} "
+        f"val_loss={result.val_loss:.6f} pck={result.pck:.2f}% "
+        f"epe={result.epe_px:.2f}px "
+        f"throughput={result.images_per_sec:.1f} img/s"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

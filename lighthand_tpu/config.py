@@ -1,0 +1,193 @@
+"""Unified configuration.
+
+The reference splits configuration across argparse (argparser.py:27-100),
+hard-coded post-parse mutation (pre_argparser.py:8-21), an EasyDict tree for
+SimpleBaseline (simplebaseline/config.py) and a yaml file for HRNet
+(hrnet/config/cfg.yaml). Here there is ONE dataclass tree plus a CLI facade
+that accepts the reference's exact flags (--name model/dataset/tag --epoch
+--count --reset --batch_size --lr --ratio_of_aug --num_our --transfer
+--optim --eval --plt ... per BASELINE.json) so existing recipes run
+unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+VALID_MODELS = ("simplebaseline", "hrnet")
+VALID_DATASETS = ("rhd", "stb", "frei", "interhand", "gan", "ours")
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    data: int = -1       # -1 = all devices
+    model: int = 1
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset: str = "ours"
+    dataset_root: str = "../../dataset"
+    image_size: int = 256
+    heatmap_size: int = 64
+    num_joints: int = 21
+    num_our: int = 300000          # --num_our (argparser.py:58-63)
+    ratio_of_aug: float = 0.6      # --ratio_of_aug (argparser.py:66-70)
+    ratio_of_other: float = 0.0
+    batch_size: int = 32
+    num_workers: int = 8           # pre_argparser.py:16
+    train_yaml: str = "../../dataset/freihand/train.yaml"
+    val_yaml: str = "../../dataset/freihand/test.yaml"
+    shuffle_seed: int = 9001       # train.py:15 random_seed
+    synthetic: bool = False        # fall back to generated data (testing/bench)
+    prefetch: int = 2              # device-side double buffering depth
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    name: str = "simplebaseline"   # simplebaseline | hrnet | hrnet_w32 | ...
+    num_joints: int = 21
+    precision: str = "bf16"        # bf16 | f32
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 100              # --epoch
+    lr: float = 1e-3               # --lr
+    early_stop_count: int = 30     # --count
+    milestone: int = 10
+    seed: int = 9001
+    logging_steps: int = 100       # pre_argparser.py:15
+    reset: bool = False
+    transfer: bool = False
+    reset_optimizer: bool = False  # --optim (train.py:50)
+    visualize: bool = True         # save overlay images 3x/epoch
+    assume_yes: bool = False       # non-interactive --reset confirmation
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    eval: bool = False
+    test: bool = False
+    plt: bool = False
+    compat_mean_epe: bool = True   # replicate pred_eval's zeros-padded
+    # total_epe init (argparser.py:345) — see eval/harness.py
+
+
+@dataclasses.dataclass
+class Config:
+    name: str = "simplebaseline/ours/84k"   # root/name routing key
+    root_path: str = "output"
+    view: str = "wrist"
+    phase: str = "train"
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+
+    # Derived (set in finalize)
+    output_dir: str = ""
+    tensorboard_dir: str = ""
+
+    def finalize(self) -> "Config":
+        self.output_dir = os.path.join(self.root_path, self.name)
+        self.tensorboard_dir = os.path.join("tensorboard", self.name)
+        parts = self.name.split("/")
+        if not self.eval.eval and len(parts) >= 2:
+            model_key, dataset_key = parts[0], parts[1]
+            # build_dataset's assertions (src/tools/dataset.py:40-57)
+            if model_key not in VALID_MODELS:
+                raise ValueError(
+                    f"Please write down the model name in {list(VALID_MODELS)},"
+                    f" not {model_key}"
+                )
+            if dataset_key not in VALID_DATASETS:
+                raise ValueError(
+                    "Please write down the dataset name in "
+                    f"{list(VALID_DATASETS)}, not {dataset_key}"
+                )
+            self.model.name = model_key
+            self.data.dataset = dataset_key
+        return self
+
+
+def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config:
+    """CLI facade: the reference's exact flag surface (argparser.py:27-100)
+    plus TPU-specific extensions (``--mesh-data``, ``--mesh-model``,
+    ``--precision``, ``--synthetic``, ``--yes``)."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--root", default="simplebaseline/ours", type=str)
+    parser.add_argument("--name", default="84k", type=str)
+    parser.add_argument("--root_path", default="output", type=str)
+    parser.add_argument("--model", default="ours", type=str)
+    parser.add_argument("--dataset", default=None, type=str)
+    parser.add_argument("--view", default="wrist", type=str)
+    parser.add_argument("--batch_size", default=32, type=int)
+    parser.add_argument("--milestone", default=10, type=int)
+    parser.add_argument("--count", default=30, type=int)
+    parser.add_argument("--num_our", default=300000, type=int)
+    parser.add_argument("--ratio_of_other", default=0, type=float)
+    parser.add_argument("--ratio_of_aug", default=0.6, type=float)
+    parser.add_argument("--epoch", default=100, type=int)
+    parser.add_argument("--lr", default=0.001, type=float)
+    parser.add_argument("--scale", action="store_true")
+    parser.add_argument("--plt", action="store_true")
+    parser.add_argument("--transfer", action="store_true")
+    parser.add_argument("--eval", action="store_true")
+    parser.add_argument("--test", action="store_true")
+    parser.add_argument("--logger", action="store_true")
+    parser.add_argument("--reset", action="store_true")
+    parser.add_argument("--rot", action="store_true")
+    parser.add_argument("--optim", action="store_true")
+    parser.add_argument("--color", action="store_true")
+    parser.add_argument("--D3", action="store_true")
+    # TPU-native extensions
+    parser.add_argument("--mesh-data", dest="mesh_data", default=-1, type=int)
+    parser.add_argument("--mesh-model", dest="mesh_model", default=1, type=int)
+    parser.add_argument("--precision", default="bf16",
+                        choices=("bf16", "f32"))
+    parser.add_argument("--synthetic", action="store_true",
+                        help="train on generated data (smoke tests / bench)")
+    parser.add_argument("--dataset-root", dest="dataset_root",
+                        default="../../dataset", type=str)
+    parser.add_argument("--num-workers", dest="num_workers", default=8,
+                        type=int)
+    parser.add_argument("--yes", action="store_true",
+                        help="answer yes to the --reset confirmation")
+
+    a = parser.parse_args(argv)
+
+    cfg = Config(
+        name=os.path.join(a.root, a.name),
+        root_path=a.root_path,
+        view=a.view,
+        phase=phase,
+        mesh=MeshConfig(data=a.mesh_data, model=a.mesh_model),
+        data=DataConfig(
+            dataset=a.dataset or a.root.split("/")[-1],
+            dataset_root=a.dataset_root,
+            num_our=a.num_our,
+            ratio_of_aug=a.ratio_of_aug,
+            ratio_of_other=a.ratio_of_other,
+            batch_size=a.batch_size,
+            num_workers=a.num_workers,
+            synthetic=a.synthetic,
+        ),
+        model=ModelConfig(name=a.model, precision=a.precision),
+        train=TrainConfig(
+            epochs=a.epoch,
+            lr=a.lr,
+            early_stop_count=a.count,
+            milestone=a.milestone,
+            reset=a.reset,
+            transfer=a.transfer,
+            reset_optimizer=a.optim,
+            assume_yes=a.yes,
+        ),
+        eval=EvalConfig(eval=a.eval, test=a.test, plt=a.plt),
+    )
+    return cfg.finalize()

@@ -1,0 +1,27 @@
+"""Mixed-precision policy: bf16 compute on the MXU, f32 params/BN stats.
+
+The reference trains pure f32 on cuDNN (no AMP anywhere in
+/root/reference/src). On TPU the MXU natively multiplies bf16 at 2x the f32
+rate, so the framework default is bf16 activations/conv compute with f32
+parameters, f32 batch-norm statistics, and an f32 loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class DTypePolicy:
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.bfloat16
+    output_dtype: jnp.dtype = jnp.float32  # final heatmap logits / loss
+
+    @classmethod
+    def full_precision(cls) -> "DTypePolicy":
+        return cls(compute_dtype=jnp.float32)
+
+
+DEFAULT_POLICY = DTypePolicy()

@@ -1,0 +1,172 @@
+"""Host->device input pipeline.
+
+The reference hides preprocessing cost in 8 fork()ed DataLoader workers that
+each run cv2 + Python heatmap rasterization and return CPU tensors copied
+H2D every step (train.py:27-38, method.py:165-166). Here:
+
+- host threads only decode/collate uint8 images + joint arrays (cheap,
+  GIL-friendly numpy);
+- batches are transferred once, ahead of time, with the proper
+  ``NamedSharding`` (double-buffered prefetch, so the H2D copy of batch N+1
+  overlaps the TPU step of batch N);
+- color jitter, ImageNet normalization, and Gaussian-target rasterization
+  run on-device inside jitted code (ops/color.py, ops/heatmap.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lighthand_tpu.core.mesh import batch_sharding
+from lighthand_tpu.data.records import Source
+from lighthand_tpu.ops.color import color_jitter, normalize_imagenet
+
+
+class DevicePreprocessor:
+    """Jitted uint8 -> normalized f32 (+ optional per-sample color jitter).
+
+    Matches the reference transform stacks: ToTensor -> Resize(256) ->
+    [ColorJitter(0.5,0.5,0.5,0.5) for the aug-enabled prefix] ->
+    Normalize(ImageNet) (src/tools/dataset.py:134-157). Resize already
+    happened host-side (sources emit canonical SxS uint8).
+    """
+
+    def __init__(self, jitter: bool = True, brightness: float = 0.5,
+                 contrast: float = 0.5, saturation: float = 0.5,
+                 hue: float = 0.5):
+        self.jitter = jitter
+
+        @jax.jit
+        def _apply(key, images_u8, aug_enabled):
+            imgs = images_u8.astype(jnp.float32) / 255.0
+            if jitter:
+                keys = jax.random.split(key, imgs.shape[0])
+                fn = functools.partial(
+                    color_jitter, brightness=brightness, contrast=contrast,
+                    saturation=saturation, hue=hue,
+                )
+                imgs = jax.vmap(fn)(keys, imgs, enable=aug_enabled)
+            return normalize_imagenet(imgs)
+
+        self._apply = _apply
+
+    def __call__(self, key, images_u8: jnp.ndarray,
+                 aug_enabled: jnp.ndarray) -> jnp.ndarray:
+        return self._apply(key, images_u8, aug_enabled)
+
+
+def _collate(samples) -> Dict[str, np.ndarray]:
+    images = np.stack([s.image for s in samples])
+    joints = np.stack([s.joints for s in samples]).astype(np.float32)
+    aug = np.asarray([s.aug_enabled for s in samples], dtype=np.float32)
+    batch = {"image_u8": images, "joints": joints, "aug_enabled": aug}
+    if samples[0].meta and "pose_ctgy" in samples[0].meta:
+        # host-side metadata (stays off-device; used by eval/harness.py)
+        batch["pose_ctgy"] = [s.meta["pose_ctgy"] for s in samples]
+    return batch
+
+
+class Loader:
+    """Iterable over device-resident, mesh-sharded batches.
+
+    Drops the last partial batch (static shapes for jit; the reference's
+    DataLoader kept ragged tails, which XLA would re-compile on).
+    """
+
+    def __init__(
+        self,
+        source: Source,
+        batch_size: int,
+        *,
+        mesh=None,
+        shuffle: bool = False,
+        seed: int = 9001,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        drop_last: bool = True,
+    ):
+        self.source = source
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.source) // self.batch_size
+        if not self.drop_last and len(self.source) % self.batch_size:
+            n += 1
+        return n
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.source))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def _host_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order()
+        n_full = len(order) // self.batch_size
+        limit = n_full * self.batch_size if self.drop_last else len(order)
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            # Pipeline batch fetches: up to `prefetch+1` batch futures run
+            # concurrently; each decodes its items serially (a nested
+            # pool.map here would starve once all workers hold batch tasks).
+            def fetch(batch_idx):
+                lo = batch_idx * self.batch_size
+                hi = min(lo + self.batch_size, limit)
+                return _collate([self.source[i] for i in order[lo:hi]])
+
+            total = len(self)
+            pending = []
+            next_submit = 0
+            inflight = self.prefetch + 1
+            while next_submit < min(inflight, total):
+                pending.append(pool.submit(fetch, next_submit))
+                next_submit += 1
+            done = 0
+            while done < total:
+                batch = pending.pop(0).result()
+                if next_submit < total:
+                    pending.append(pool.submit(fetch, next_submit))
+                    next_submit += 1
+                done += 1
+                yield batch
+
+    def __iter__(self) -> Iterator[Dict[str, jnp.ndarray]]:
+        """Yields device batches; transfers are issued one batch ahead."""
+        def put(host_batch):
+            out = {}
+            for k, v in host_batch.items():
+                if not isinstance(v, np.ndarray):
+                    out[k] = v  # host-side metadata (e.g. pose categories)
+                elif self.mesh is None:
+                    out[k] = jnp.asarray(v)
+                else:
+                    out[k] = jax.device_put(
+                        v, batch_sharding(self.mesh, v.ndim))
+            return out
+
+        prev = None
+        for host_batch in self._host_batches():
+            cur = put(host_batch)  # async dispatch; compute overlaps
+            if prev is not None:
+                yield prev
+            prev = cur
+        if prev is not None:
+            yield prev

@@ -1,0 +1,111 @@
+"""Dataset dispatch keyed by the --name routing string.
+
+Reference: ``build_dataset`` (src/tools/dataset.py:32-100). Mapping:
+  frei      -> FreiHAND TSV, 90/10 random split
+  ours      -> LightHand train + LightHand eval (val_set)
+  rhd       -> RHD training/evaluation splits
+  interhand -> InterHand2.6M train/val
+  gan       -> GANeratedHands, 90/10 random split
+  stb       -> unsupported (the reference's STB class is a non-functional
+               stub, dataset_loader.py:422-459)
+  --eval    -> the Armo real wrist-camera set for both loaders
+
+``--synthetic`` (or a missing dataset tree) falls back to generated data so
+smoke tests and benchmarks run anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+from lighthand_tpu.config import Config
+from lighthand_tpu.data.records import Source, random_split_90_10
+from lighthand_tpu.data.synthetic import SyntheticHands
+
+
+def _synthetic_pair(cfg: Config) -> Tuple[Source, Source]:
+    size = cfg.data.image_size
+    train = SyntheticHands(length=2048, size=size,
+                           aug_ratio=cfg.data.ratio_of_aug)
+    val = SyntheticHands(length=256, size=size, seed=777)
+    return train, val
+
+
+def build_dataset(cfg: Config) -> Tuple[Source, Source]:
+    if cfg.eval.eval:
+        from lighthand_tpu.data.armo import ArmoEvalSet
+
+        root = cfg.data.dataset_root
+        if cfg.data.synthetic or not os.path.isdir(
+            os.path.join(root, "Armo_hand_dataset")
+        ):
+            test = SyntheticHands(length=971, size=cfg.data.image_size,
+                                  seed=555, with_visibility=True)
+            return test, test
+        test = ArmoEvalSet(root, phase="eval",
+                           image_size=cfg.data.image_size)
+        return test, test
+
+    name = cfg.data.dataset
+    root = cfg.data.dataset_root
+    if cfg.data.synthetic:
+        return _synthetic_pair(cfg)
+
+    if name == "ours":
+        base = os.path.join(root, "LightHand")
+        if not os.path.isdir(base):
+            return _synthetic_pair(cfg)
+        from lighthand_tpu.data.lighthand import (
+            LightHandDataset,
+            LightHandValSet,
+        )
+
+        train = LightHandDataset(root, "train", num_our=cfg.data.num_our,
+                                 ratio_of_aug=cfg.data.ratio_of_aug,
+                                 image_size=cfg.data.image_size)
+        val = LightHandValSet(root, "eval", image_size=cfg.data.image_size)
+        return train, val
+
+    if name == "frei":
+        if not os.path.isfile(cfg.data.train_yaml):
+            return _synthetic_pair(cfg)
+        from lighthand_tpu.data.freihand import FreiHandTSVDataset
+
+        full = FreiHandTSVDataset(cfg.data.train_yaml, is_train=True,
+                                  image_size=cfg.data.image_size)
+        return random_split_90_10(full, seed=cfg.data.shuffle_seed)
+
+    if name == "rhd":
+        if not os.path.isdir(os.path.join(root, "RHD_published_v2")):
+            return _synthetic_pair(cfg)
+        from lighthand_tpu.data.rhd import RHDDataset
+
+        return (RHDDataset(root, "training", cfg.data.image_size),
+                RHDDataset(root, "evaluation", cfg.data.image_size))
+
+    if name == "interhand":
+        if not os.path.isdir(os.path.join(root,
+                                          "InterHand2.6M_5fps_batch1")):
+            return _synthetic_pair(cfg)
+        from lighthand_tpu.data.interhand import InterHandDataset
+
+        return (InterHandDataset(root, "train", cfg.data.image_size),
+                InterHandDataset(root, "val", cfg.data.image_size))
+
+    if name == "gan":
+        if not os.path.isdir(os.path.join(root, "GANeratedHands_Release")):
+            return _synthetic_pair(cfg)
+        from lighthand_tpu.data.gan import GANeratedDataset
+
+        full = GANeratedDataset(root, cfg.data.image_size)
+        return random_split_90_10(full, seed=cfg.data.shuffle_seed)
+
+    if name == "stb":
+        raise NotImplementedError(
+            "STB is a non-functional stub in the reference "
+            "(dataset_loader.py:422-459: __getitem__ is print()); "
+            "not supported here either."
+        )
+
+    raise ValueError(f"unknown dataset {name!r}")

@@ -1,0 +1,158 @@
+"""Shared Flax building blocks for the pose backbones.
+
+TPU-first conventions: NHWC layout (XLA's native conv layout on TPU),
+bf16 compute with f32 params and f32 BatchNorm statistics
+(core/dtypes.DTypePolicy). Torch BatchNorm momentum 0.1 maps to Flax
+momentum 0.9 (EMA keeps 0.9 of the old value).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lighthand_tpu.core.dtypes import DTypePolicy, DEFAULT_POLICY
+
+BN_MOMENTUM = 0.9  # == 1 - torch BN_MOMENTUM (pose_resnet.py:19)
+BN_EPS = 1e-5
+
+ModuleDef = Any
+
+
+class ConvBN(nn.Module):
+    """Conv -> BatchNorm (no bias on the conv, like every reference conv)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    relu: bool = True
+    policy: DTypePolicy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME" if self.kernel > 1 else "VALID",
+            use_bias=False,
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=jnp.float32,
+            param_dtype=self.policy.param_dtype,
+        )(x)
+        x = x.astype(self.policy.compute_dtype)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """2x 3x3 conv residual block (pose_resnet.py:29-58). expansion = 1."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    policy: DTypePolicy = DEFAULT_POLICY
+
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        out = ConvBN(self.planes, 3, self.stride, relu=True,
+                     policy=self.policy)(x, train)
+        out = ConvBN(self.planes, 3, 1, relu=False,
+                     policy=self.policy)(out, train)
+        if self.downsample:
+            residual = ConvBN(self.planes * self.expansion, 1, self.stride,
+                              relu=False, policy=self.policy)(x, train)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 residual block (pose_resnet.py:61-99). expansion=4."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    policy: DTypePolicy = DEFAULT_POLICY
+
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        out = ConvBN(self.planes, 1, 1, relu=True, policy=self.policy)(x, train)
+        out = ConvBN(self.planes, 3, self.stride, relu=True,
+                     policy=self.policy)(out, train)
+        out = ConvBN(self.planes * self.expansion, 1, 1, relu=False,
+                     policy=self.policy)(out, train)
+        if self.downsample:
+            residual = ConvBN(self.planes * self.expansion, 1, self.stride,
+                              relu=False, policy=self.policy)(x, train)
+        return nn.relu(out + residual)
+
+
+class BottleneckCaffe(nn.Module):
+    """Caffe-style bottleneck: the stride sits on the first 1x1 conv
+    (pose_resnet.py:102-141)."""
+
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    policy: DTypePolicy = DEFAULT_POLICY
+
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        out = ConvBN(self.planes, 1, self.stride, relu=True,
+                     policy=self.policy)(x, train)
+        out = ConvBN(self.planes, 3, 1, relu=True, policy=self.policy)(out, train)
+        out = ConvBN(self.planes * self.expansion, 1, 1, relu=False,
+                     policy=self.policy)(out, train)
+        if self.downsample:
+            residual = ConvBN(self.planes * self.expansion, 1, self.stride,
+                              relu=False, policy=self.policy)(x, train)
+        return nn.relu(out + residual)
+
+
+def make_res_layer(block: ModuleDef, planes: int, blocks: int, in_features: int,
+                   stride: int = 1, policy: DTypePolicy = DEFAULT_POLICY,
+                   name_prefix: str = "block"):
+    """Returns a callable stacking ``blocks`` residual blocks, matching
+    _make_layer (pose_resnet.py:177-192)."""
+    expansion = block.expansion
+    needs_down = stride != 1 or in_features != planes * expansion
+
+    def apply(module_parent, x, train):
+        x = block(planes, stride, needs_down, policy,
+                  name=f"{name_prefix}0")(x, train)
+        for i in range(1, blocks):
+            x = block(planes, 1, False, policy,
+                      name=f"{name_prefix}{i}")(x, train)
+        return x
+
+    return apply
+
+
+def nearest_upsample(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """nn.Upsample(scale_factor=2**(j-i), mode='nearest') equivalent
+    (pose_hrnet.py:206) — cheap jnp repeat, fuses with the preceding conv."""
+    x = jnp.repeat(x, factor, axis=1)
+    x = jnp.repeat(x, factor, axis=2)
+    return x
+
+
+def max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """torch MaxPool2d(kernel=3, stride=2, padding=1)."""
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -1,0 +1,112 @@
+"""Checkpointing: Orbax-backed, best-only retention.
+
+Mirrors the reference's single-file checkpoint semantics
+(src/tools/dataset.py:340-367 ``save_checkpoint`` and src/utils/dir.py:38-47
+``resume_checkpoint``): five logical fields {epoch, optimizer state,
+best_loss, early-stop count, model state} written to
+``{output_dir}/checkpoint-good``, host-leader gated; resume restores all
+five and continues at epoch+1 (the +1 is applied here, like dir.py:41).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from lighthand_tpu.core.mesh import is_host_leader
+from lighthand_tpu.train.state import TrainState
+
+CKPT_DIR_NAME = "checkpoint-good"  # "good" = best model (train.py:99-108)
+
+
+def _ckpt_path(output_dir: str, ment: str = "good") -> str:
+    return os.path.abspath(os.path.join(output_dir, f"checkpoint-{ment}"))
+
+
+def save_checkpoint(
+    state: TrainState,
+    output_dir: str,
+    epoch: int,
+    best_loss: float,
+    count: int,
+    ment: str = "good",
+) -> str:
+    """Host-leader-gated best-checkpoint save (src/tools/dataset.py:345)."""
+    path = _ckpt_path(output_dir, ment)
+    if not is_host_leader():
+        return path
+    payload = {
+        "epoch": np.asarray(epoch),
+        "best_loss": np.asarray(best_loss),
+        "count": np.asarray(count),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": jax.device_get(state.step),
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+    return path
+
+
+def checkpoint_exists(output_dir: str, ment: str = "good") -> bool:
+    path = _ckpt_path(output_dir, ment)
+    return os.path.isdir(path) and bool(os.listdir(path))
+
+
+def resume_checkpoint(
+    state: TrainState,
+    output_dir: str,
+    ment: str = "good",
+    restore_optimizer: bool = True,
+) -> Tuple[float, int, TrainState, int]:
+    """Returns (best_loss, start_epoch, state, count); start_epoch is the
+    stored epoch + 1 (dir.py:41). ``restore_optimizer=False`` implements the
+    reference's ``--optim`` flag (train.py:50)."""
+    path = _ckpt_path(output_dir, ment)
+    ckptr = ocp.PyTreeCheckpointer()
+    template = {
+        "epoch": np.asarray(0),
+        "best_loss": np.asarray(0.0),
+        "count": np.asarray(0),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": jax.device_get(state.step),
+    }
+    payload = ckptr.restore(path, item=template)
+    new_state = state.replace(
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
+        step=payload["step"],
+    )
+    if restore_optimizer:
+        new_state = new_state.replace(opt_state=payload["opt_state"])
+    return (
+        float(payload["best_loss"]),
+        int(payload["epoch"]) + 1,
+        new_state,
+        int(payload["count"]),
+    )
+
+
+def load_weights_only(state: TrainState, checkpoint_dir: str) -> TrainState:
+    """Warm-start weights from another run — the ``--transfer`` path
+    (argparser.py:167-187 loads output/{model}/frei/ori)."""
+    ckptr = ocp.PyTreeCheckpointer()
+    template = {
+        "epoch": np.asarray(0),
+        "best_loss": np.asarray(0.0),
+        "count": np.asarray(0),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": jax.device_get(state.step),
+    }
+    payload = ckptr.restore(os.path.abspath(checkpoint_dir), item=template)
+    return state.replace(params=payload["params"],
+                         batch_stats=payload["batch_stats"])
