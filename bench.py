@@ -27,7 +27,7 @@ import numpy as np
 
 REFERENCE_IMG_PER_SEC = 330.0  # torch HRNet-W32@256 bs32 on A100 (see above)
 
-BATCH = 64
+BATCH = 128  # sweep: bs64 -> 646, bs128 -> 1011, bs256 -> 888 img/s (v5e)
 SIZE = 256
 WARMUP_STEPS = 5
 MEASURE_STEPS = 30
@@ -84,8 +84,8 @@ def main() -> None:
     ips_per_chip = total_images / elapsed / n_chips
 
     print(json.dumps({
-        "metric": "train images/sec/chip (HRNet-W32@256^2, bs64, bf16, "
-                  "incl. on-device aug+heatmap-target)",
+        "metric": f"train images/sec/chip (HRNet-W32@256^2, bs{BATCH}, "
+                  "bf16, incl. on-device aug+heatmap-target)",
         "value": round(ips_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips_per_chip / REFERENCE_IMG_PER_SEC, 3),

@@ -18,7 +18,7 @@ import os
 from typing import Optional
 
 VALID_MODELS = ("simplebaseline", "hrnet")
-VALID_DATASETS = ("rhd", "stb", "frei", "interhand", "gan", "ours")
+VALID_DATASETS = ("rhd", "stb", "frei", "interhand", "gan", "ours", "mix")
 
 
 @dataclasses.dataclass

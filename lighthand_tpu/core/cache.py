@@ -20,7 +20,11 @@ def enable_compilation_cache(path: str | None = None) -> None:
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Only persist expensive compiles (the big TPU train/eval steps).
+        # Small CPU executables may be AOT-compiled by the remote-compile
+        # service with host features this machine lacks — loading those
+        # back risks SIGILL, so keep them out of the cache.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except AttributeError:
         pass  # older jax without these knobs

@@ -26,9 +26,12 @@ from lighthand_tpu.data.synthetic import SyntheticHands
 
 def _synthetic_pair(cfg: Config) -> Tuple[Source, Source]:
     size = cfg.data.image_size
-    train = SyntheticHands(length=2048, size=size,
+    # --num_our caps the train length, like the LightHand dataset
+    n_train = max(cfg.data.batch_size, min(2048, cfg.data.num_our))
+    train = SyntheticHands(length=n_train, size=size,
                            aug_ratio=cfg.data.ratio_of_aug)
-    val = SyntheticHands(length=256, size=size, seed=777)
+    val = SyntheticHands(length=max(cfg.data.batch_size, n_train // 8),
+                         size=size, seed=777)
     return train, val
 
 
@@ -49,6 +52,28 @@ def build_dataset(cfg: Config) -> Tuple[Source, Source]:
 
     name = cfg.data.dataset
     root = cfg.data.dataset_root
+
+    if name == "mix":
+        # Multi-dataset mix (BASELINE.json config 5: LightHand99K +
+        # FreiHAND + RHD train mix, cross-domain eval). The reference has
+        # only dormant machinery for this (add_our/our_cat,
+        # dataset_loader.py:515-551, never reachable from build_dataset);
+        # here it is a first-class route. Handled before the synthetic
+        # shortcut so each sub-dataset falls back independently.
+        from lighthand_tpu.data.records import ConcatSource
+
+        trains, vals = [], []
+        for sub in ("ours", "frei", "rhd"):
+            old = cfg.data.dataset
+            cfg.data.dataset = sub
+            try:
+                t, v = build_dataset(cfg)
+                trains.append(t)
+                vals.append(v)
+            finally:
+                cfg.data.dataset = old
+        return ConcatSource(*trains), ConcatSource(*vals)
+
     if cfg.data.synthetic:
         return _synthetic_pair(cfg)
 

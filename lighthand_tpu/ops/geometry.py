@@ -79,3 +79,29 @@ def orthographic_projection(x: jnp.ndarray, camera: jnp.ndarray) -> jnp.ndarray:
     camera = camera.reshape(-1, 1, 3)
     x_trans = x[:, :, :2] + camera[:, :, 1:]
     return camera[:, :, 0:1] * x_trans
+
+
+def euler_to_rotation(angles_deg: jnp.ndarray) -> jnp.ndarray:
+    """XYZ Euler angles (degrees) -> rotation matrix [3,3]."""
+    rad = jnp.deg2rad(jnp.asarray(angles_deg, jnp.float32))
+    cx, cy, cz = jnp.cos(rad[0]), jnp.cos(rad[1]), jnp.cos(rad[2])
+    sx, sy, sz = jnp.sin(rad[0]), jnp.sin(rad[1]), jnp.sin(rad[2])
+    rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return rz @ ry @ rx
+
+
+def camera_calibration(points: jnp.ndarray, euler_deg, translation, focal,
+                       principal, out_size: float = 224.0) -> jnp.ndarray:
+    """Full extrinsic+intrinsic projection of [N,3] world points to pixels
+    in an out_size^2 image (geometric_layers.py:62-94 semantics: Euler->R,
+    p_cam = R (p - t), perspective divide, * focal + principal)."""
+    r = euler_to_rotation(euler_deg)
+    p = jnp.asarray(points, jnp.float32)
+    t = jnp.asarray(translation, jnp.float32)
+    cam = (r @ (p - t).T).T
+    xy = cam[:, :2] / jnp.maximum(cam[:, 2:3], 1e-8)
+    focal = jnp.asarray(focal, jnp.float32)
+    principal = jnp.asarray(principal, jnp.float32)
+    return xy * focal + principal

@@ -23,6 +23,44 @@ from lighthand_tpu.train.state import TrainState
 CKPT_DIR_NAME = "checkpoint-good"  # "good" = best model (train.py:99-108)
 
 
+def fast_device_get(tree):
+    """Fetch a pytree from device in one transfer per dtype.
+
+    ``jax.device_get`` pulls leaves one by one; through a high-RTT remote
+    device (this image tunnels to the TPU) that costs minutes for a few
+    hundred parameters. Concatenating same-dtype leaves into single
+    vectors makes it one round trip per dtype (typically one: f32).
+    """
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves or not all(
+        hasattr(x, "dtype") and hasattr(x, "shape") for x in leaves
+    ):
+        return jax.device_get(tree)
+
+    groups = {}
+    for i, x in enumerate(leaves):
+        groups.setdefault(jnp.dtype(x.dtype), []).append(i)
+
+    pack = jax.jit(
+        lambda ls: jnp.concatenate([jnp.ravel(x) for x in ls]),
+    )
+    out = [None] * len(leaves)
+    for dtype, idxs in groups.items():
+        if len(idxs) == 1:
+            i = idxs[0]
+            out[i] = np.asarray(leaves[i])
+            continue
+        flat = np.asarray(pack([leaves[i] for i in idxs]))
+        off = 0
+        for i in idxs:
+            n = int(np.prod(leaves[i].shape)) if leaves[i].shape else 1
+            out[i] = flat[off:off + n].reshape(leaves[i].shape)
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def _ckpt_path(output_dir: str, ment: str = "good") -> str:
     return os.path.abspath(os.path.join(output_dir, f"checkpoint-{ment}"))
 
@@ -43,9 +81,9 @@ def save_checkpoint(
         "epoch": np.asarray(epoch),
         "best_loss": np.asarray(best_loss),
         "count": np.asarray(count),
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
+        "params": fast_device_get(state.params),
+        "batch_stats": fast_device_get(state.batch_stats),
+        "opt_state": fast_device_get(state.opt_state),
         "step": jax.device_get(state.step),
     }
     ckptr = ocp.PyTreeCheckpointer()
@@ -73,9 +111,9 @@ def resume_checkpoint(
         "epoch": np.asarray(0),
         "best_loss": np.asarray(0.0),
         "count": np.asarray(0),
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
+        "params": fast_device_get(state.params),
+        "batch_stats": fast_device_get(state.batch_stats),
+        "opt_state": fast_device_get(state.opt_state),
         "step": jax.device_get(state.step),
     }
     payload = ckptr.restore(path, item=template)
@@ -102,9 +140,9 @@ def load_weights_only(state: TrainState, checkpoint_dir: str) -> TrainState:
         "epoch": np.asarray(0),
         "best_loss": np.asarray(0.0),
         "count": np.asarray(0),
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-        "opt_state": jax.device_get(state.opt_state),
+        "params": fast_device_get(state.params),
+        "batch_stats": fast_device_get(state.batch_stats),
+        "opt_state": fast_device_get(state.opt_state),
         "step": jax.device_get(state.step),
     }
     payload = ckptr.restore(os.path.abspath(checkpoint_dir), item=template)

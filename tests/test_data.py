@@ -114,6 +114,16 @@ def test_build_dataset_synthetic_fallback():
     assert s.image.shape == (256, 256, 3)
 
 
+def test_build_dataset_mix():
+    cfg = Config(name="simplebaseline/mix/test")
+    cfg.data.synthetic = True
+    cfg.finalize()
+    train, val = build_dataset(cfg)
+    # three synthetic sub-datasets concatenated
+    assert len(train) == 3 * 2048
+    assert len(val) == 3 * 256
+
+
 def test_build_dataset_validates_names():
     import pytest
 
