@@ -36,7 +36,7 @@ def find_checkpoints(model_path: str):
     found = []
     for root, dirs, _ in os.walk(model_path):
         for d in dirs:
-            if d.startswith("checkpoint-"):
+            if d.startswith("checkpoint-") and "tmp" not in d:
                 found.append(os.path.join(root, d))
     return sorted(found)
 

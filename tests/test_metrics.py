@@ -94,7 +94,7 @@ def test_joints_mse_loss_equals_per_joint_split(rng):
                  for j in range(21)]
     want = np.sum(per_joint) / 21
     got = float(joints_mse_loss(jnp.asarray(pred), jnp.asarray(target)))
-    assert abs(got - want) / want < 1e-5  # f32 reduction vs f64 oracle
+    assert abs(got - want) / want < 1e-4  # f32 reduction vs f64 oracle
 
 
 def test_similarity_transform_matches_reference(rng):
