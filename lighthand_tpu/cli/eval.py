@@ -63,26 +63,32 @@ def main(argv=None) -> int:
     preprocess = DevicePreprocessor(jitter=False)
     predict_step = make_predict_step(stride=size / cfg.data.heatmap_size)
 
+    # Inference once per checkpoint; the prediction store is independent of
+    # the threshold regime (the reference re-ran pred_store per regime,
+    # wearable_eval_2d.py:45-58 — pure waste).
+    stores = []
+    for ckpt in ckpts:
+        run_name = os.path.relpath(os.path.dirname(ckpt), cfg.root_path)
+        model_name = run_name.split("/")[0] \
+            if run_name.split("/")[0] in ("simplebaseline", "hrnet") \
+            else cfg.model.name
+        model = get_model(model_name, policy=policy)
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   input_shape=(1, size, size, 3))
+        state = jax.device_put(state, replicated_sharding(mesh))
+        state = load_weights_only(state, ckpt)
+
+        loader = Loader(eval_src, cfg.data.batch_size, mesh=mesh,
+                        shuffle=False, num_workers=cfg.data.num_workers)
+        out_json = os.path.join("output", run_name, "evaluation.json")
+        pred_store(loader, lambda im: predict_step(state, im)[0],
+                   out_json, preprocess=preprocess,
+                   rng_key=jax.random.PRNGKey(1))
+        stores.append((out_json, run_name))
+
     for t_type, t_list in THRESHOLD_REGIMES:
         rows = []
-        for ckpt in ckpts:
-            run_name = os.path.relpath(os.path.dirname(ckpt), cfg.root_path)
-            model_name = run_name.split("/")[0] \
-                if run_name.split("/")[0] in ("simplebaseline", "hrnet") \
-                else cfg.model.name
-            model = get_model(model_name, policy=policy)
-            state = create_train_state(model, jax.random.PRNGKey(0),
-                                       input_shape=(1, size, size, 3))
-            state = jax.device_put(state, replicated_sharding(mesh))
-            state = load_weights_only(state, ckpt)
-
-            loader = Loader(eval_src, cfg.data.batch_size, mesh=mesh,
-                            shuffle=False,
-                            num_workers=cfg.data.num_workers)
-            out_json = os.path.join("output", run_name, "evaluation.json")
-            pred_store(loader, lambda im: predict_step(state, im)[0],
-                       out_json, preprocess=preprocess,
-                       rng_key=jax.random.PRNGKey(1))
+        for out_json, run_name in stores:
             pck = pred_eval(out_json, t_list, t_type,
                             compat_mean_epe=cfg.eval.compat_mean_epe)
             rows.append((pck, run_name))

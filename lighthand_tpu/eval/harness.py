@@ -111,6 +111,10 @@ def pred_eval(eval_json_path: str, t_list: Sequence[float], method: str,
     out: Dict[str, list] = {}
 
     for p_type, rec in meta.items():
+        if not rec["gt"]:
+            # category with no samples (possible with partial eval sets;
+            # the real Armo set populates all four)
+            continue
         bbox = np.asarray(rec["bb"], dtype=float)
         pred = np.asarray(rec["pred"], dtype=float)
         gt = np.asarray(rec["gt"], dtype=float)
