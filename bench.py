@@ -1,19 +1,20 @@
 """Benchmark: training images/sec/chip for HRNet-W32 @ 256x256 heatmap
 regression (the BASELINE.json headline metric), measured end-to-end on the
-attached TPU chip: device-side preprocessing + Gaussian-target rasterization
-+ forward/backward + Adam update, steady-state after compilation.
+attached TPU chip with the framework's shipped fused train step:
+uint8 batch in -> on-device color jitter + ImageNet normalize (bf16) +
+Gaussian-target rasterization + forward/backward + Adam, lax.scan over 4
+pre-staged microbatches per dispatch (exactly what
+`cli.train --steps-per-dispatch 4` runs).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6);
 BASELINE.json's target is ">=5x images/sec/chip vs the PyTorch reference on
-1 GPU-equivalent". We use the reference stack's measured throughput on an
-A100-class GPU for HRNet-W32@256, batch 32, fp32 + cudnn.benchmark —
-~330 img/s is a representative published-hardware figure for that exact
-torch workload (forward+backward+step, per-step host sync included as the
-reference's train loop forces one, method.py:172-178). vs_baseline =
-value / 330.0. This constant is documented, conservative, and replaces a
-baseline we cannot run here (no GPU in this image).
+1 GPU-equivalent". We use 330 img/s as the reference figure — a
+representative throughput for the reference's exact torch workload
+(HRNet-W32@256, bs32, fp32 + cudnn.benchmark, including its per-step host
+sync, method.py:172-178) on an A100-class GPU — because no GPU exists in
+this image to measure directly. vs_baseline = value / 330.0.
 """
 
 from __future__ import annotations
@@ -27,21 +28,25 @@ import numpy as np
 
 REFERENCE_IMG_PER_SEC = 330.0  # torch HRNet-W32@256 bs32 on A100 (see above)
 
-BATCH = 128  # sweep: bs64 -> 646, bs128 -> 1011, bs256 -> 888 img/s (v5e)
+BATCH = 128        # sweep: bs64 646 / bs128 1011 / bs192 735 / bs256 888
+SCAN_STEPS = 4     # optimizer steps per dispatch (+5% over per-step)
 SIZE = 256
-WARMUP_STEPS = 5
-MEASURE_STEPS = 30
+WARMUP = 2
+MEASURE = 8        # dispatches; = MEASURE * SCAN_STEPS optimizer steps
 
 
 def main() -> None:
     from lighthand_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    from lighthand_tpu.core.mesh import MeshSpec, create_mesh, \
-        replicated_sharding, batch_sharding
+    from lighthand_tpu.core.mesh import (
+        MeshSpec,
+        create_mesh,
+        replicated_sharding,
+    )
     from lighthand_tpu.models import get_model
-    from lighthand_tpu.train import create_train_state, make_train_step
-    from lighthand_tpu.data.pipeline import DevicePreprocessor
+    from lighthand_tpu.train import create_train_state
+    from lighthand_tpu.train.step import make_fused_train_step
 
     mesh = create_mesh(MeshSpec())
     n_chips = len(jax.devices())
@@ -50,42 +55,45 @@ def main() -> None:
     state = create_train_state(model, jax.random.PRNGKey(0),
                                input_shape=(1, SIZE, SIZE, 3), lr=1e-3)
     state = jax.device_put(state, replicated_sharding(mesh))
-    train_step = make_train_step(heatmap_size=SIZE // 4, stride=4.0)
-    preprocess = DevicePreprocessor(jitter=True)
+    step = make_fused_train_step(heatmap_size=SIZE // 4, stride=4.0,
+                                 jitter=True, scan_steps=SCAN_STEPS)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     rng = np.random.default_rng(0)
-    images_u8 = jax.device_put(
-        rng.integers(0, 255, size=(BATCH, SIZE, SIZE, 3), dtype=np.uint8),
-        batch_sharding(mesh, 4))
-    joints = jax.device_put(
-        rng.uniform(16, SIZE - 16, size=(BATCH, 21, 2)).astype(np.float32),
-        batch_sharding(mesh, 3))
-    aug = jax.device_put(np.ones(BATCH, np.float32), batch_sharding(mesh, 1))
+
+    def shard(x):
+        # microbatch dim unsharded, batch dim over the mesh 'data' axis
+        spec = P(None, "data", *([None] * (x.ndim - 2)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    images_u8 = shard(rng.integers(
+        0, 255, size=(SCAN_STEPS, BATCH, SIZE, SIZE, 3), dtype=np.uint8))
+    joints = shard(rng.uniform(
+        16, SIZE - 16, size=(SCAN_STEPS, BATCH, 21, 2)).astype(np.float32))
+    aug = shard(np.ones((SCAN_STEPS, BATCH), np.float32))
+    batch = {"image_u8": images_u8, "joints": joints, "aug_enabled": aug}
     key = jax.random.PRNGKey(1)
 
-    def one_step(state, key):
+    for _ in range(WARMUP):
         key, sub = jax.random.split(key)
-        imgs = preprocess(sub, images_u8, aug)
-        state, metrics = train_step(state, {"image": imgs, "joints": joints})
-        return state, key, metrics
-
-    # warmup / compile
-    for _ in range(WARMUP_STEPS):
-        state, key, metrics = one_step(state, key)
+        state, metrics = step(state, sub, batch)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        state, key, metrics = one_step(state, key)
+    for _ in range(MEASURE):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, sub, batch)
     jax.block_until_ready(metrics["loss"])
     elapsed = time.perf_counter() - t0
 
-    total_images = MEASURE_STEPS * BATCH
+    total_images = MEASURE * SCAN_STEPS * BATCH
     ips_per_chip = total_images / elapsed / n_chips
 
     print(json.dumps({
         "metric": f"train images/sec/chip (HRNet-W32@256^2, bs{BATCH}, "
-                  "bf16, incl. on-device aug+heatmap-target)",
+                  f"bf16, scan{SCAN_STEPS}, incl. on-device "
+                  "aug+heatmap-target)",
         "value": round(ips_per_chip, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips_per_chip / REFERENCE_IMG_PER_SEC, 3),

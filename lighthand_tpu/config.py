@@ -66,6 +66,7 @@ class TrainConfig:
     reset_optimizer: bool = False  # --optim (train.py:50)
     visualize: bool = True         # save overlay images 3x/epoch
     assume_yes: bool = False       # non-interactive --reset confirmation
+    steps_per_dispatch: int = 1    # lax.scan K optimizer steps per dispatch
 
 
 @dataclasses.dataclass
@@ -149,7 +150,7 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
     parser.add_argument("--mesh-data", dest="mesh_data", default=-1, type=int)
     parser.add_argument("--mesh-model", dest="mesh_model", default=1, type=int)
     parser.add_argument("--precision", default="bf16",
-                        choices=("bf16", "f32"))
+                        choices=("bf16", "f32", "all_bf16"))
     parser.add_argument("--synthetic", action="store_true",
                         help="train on generated data (smoke tests / bench)")
     parser.add_argument("--dataset-root", dest="dataset_root",
@@ -158,6 +159,9 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
                         type=int)
     parser.add_argument("--yes", action="store_true",
                         help="answer yes to the --reset confirmation")
+    parser.add_argument("--steps-per-dispatch", dest="steps_per_dispatch",
+                        default=1, type=int,
+                        help="scan K optimizer steps per device dispatch")
 
     a = parser.parse_args(argv)
 
@@ -187,6 +191,7 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
             transfer=a.transfer,
             reset_optimizer=a.optim,
             assume_yes=a.yes,
+            steps_per_dispatch=a.steps_per_dispatch,
         ),
         eval=EvalConfig(eval=a.eval, test=a.test, plt=a.plt),
     )

@@ -18,10 +18,18 @@ class DTypePolicy:
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.bfloat16
     output_dtype: jnp.dtype = jnp.float32  # final heatmap logits / loss
+    # BatchNorm computation dtype. f32 is the safe default (stats over
+    # 64x64 spatial windows); bf16 cuts normalization HBM traffic on a
+    # bandwidth-bound model at some numerics risk.
+    bn_dtype: jnp.dtype = jnp.float32
 
     @classmethod
     def full_precision(cls) -> "DTypePolicy":
         return cls(compute_dtype=jnp.float32)
+
+    @classmethod
+    def all_bf16(cls) -> "DTypePolicy":
+        return cls(bn_dtype=jnp.bfloat16)
 
 
 DEFAULT_POLICY = DTypePolicy()

@@ -41,7 +41,7 @@ class DevicePreprocessor:
 
     def __init__(self, jitter: bool = True, brightness: float = 0.5,
                  contrast: float = 0.5, saturation: float = 0.5,
-                 hue: float = 0.5):
+                 hue: float = 0.5, out_dtype=jnp.bfloat16):
         self.jitter = jitter
 
         @jax.jit
@@ -54,7 +54,10 @@ class DevicePreprocessor:
                     saturation=saturation, hue=hue,
                 )
                 imgs = jax.vmap(fn)(keys, imgs, enable=aug_enabled)
-            return normalize_imagenet(imgs)
+            # Emit the model's compute dtype: the first conv casts to bf16
+            # anyway, so storing f32 activations would just double the HBM
+            # traffic of the network input.
+            return normalize_imagenet(imgs).astype(out_dtype)
 
         self._apply = _apply
 

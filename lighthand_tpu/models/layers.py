@@ -45,7 +45,7 @@ class ConvBN(nn.Module):
             use_running_average=not train,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
-            dtype=jnp.float32,
+            dtype=self.policy.bn_dtype,
             param_dtype=self.policy.param_dtype,
         )(x)
         x = x.astype(self.policy.compute_dtype)

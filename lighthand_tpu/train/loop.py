@@ -38,7 +38,10 @@ from lighthand_tpu.train.state import (
     create_train_state,
     set_learning_rate,
 )
-from lighthand_tpu.train.step import make_eval_step, make_train_step
+from lighthand_tpu.train.step import (
+    make_eval_step,
+    make_fused_train_step,
+)
 from lighthand_tpu.utils.logging import ScalarWriter, colored, setup_logger
 from lighthand_tpu.utils.meters import AverageMeter
 from lighthand_tpu.utils.progress import Bar
@@ -54,8 +57,11 @@ class EpochResult:
 
 
 def _policy(cfg: Config) -> DTypePolicy:
-    return (DTypePolicy() if cfg.model.precision == "bf16"
-            else DTypePolicy.full_precision())
+    if cfg.model.precision == "f32":
+        return DTypePolicy.full_precision()
+    if cfg.model.precision == "all_bf16":
+        return DTypePolicy.all_bf16()  # bf16 BatchNorm too (+6% on v5e)
+    return DTypePolicy()
 
 
 def _maybe_reset(cfg: Config, logger) -> None:
@@ -112,9 +118,13 @@ class Trainer:
 
         hm = cfg.data.heatmap_size
         stride = size / hm
-        self.train_step = make_train_step(heatmap_size=hm, stride=stride)
+        self.scan_steps = max(1, cfg.train.steps_per_dispatch)
+        self.train_step = make_fused_train_step(
+            heatmap_size=hm, stride=stride, jitter=True,
+            scan_steps=self.scan_steps,
+        )
         self.eval_step = make_eval_step(heatmap_size=hm, stride=stride)
-        self.preprocess = DevicePreprocessor(jitter=True)
+        self.preprocess = DevicePreprocessor(jitter=False)  # eval path
         self.writer = ScalarWriter(cfg.tensorboard_dir,
                                    jsonl_dir=cfg.output_dir)
 
@@ -164,26 +174,39 @@ class Trainer:
         bar = Bar(colored(f"{epoch}_TRAIN", "blue"), max=len(loader))
         self.rng, epoch_rng = jax.random.split(self.rng)
 
+        import jax.numpy as jnp
+
+        k = self.scan_steps
         n_images = 0
         t0 = time.time()
         pending_loss = None
+        microbatches = []
         for it, batch in enumerate(loader):
+            microbatches.append(batch)
+            if len(microbatches) < k:
+                bar.next()
+                continue
+            if k == 1:
+                dispatch = {name: microbatches[0][name]
+                            for name in ("image_u8", "joints", "aug_enabled")}
+            else:
+                dispatch = {
+                    name: jnp.stack([b[name] for b in microbatches])
+                    for name in ("image_u8", "joints", "aug_enabled")
+                }
+            microbatches = []
             self.rng, key = jax.random.split(self.rng)
-            images = self.preprocess(key, batch["image_u8"],
-                                     batch["aug_enabled"])
-            self.state, metrics = self.train_step(
-                self.state, {"image": images, "joints": batch["joints"]}
-            )
-            n_images += batch["image_u8"].shape[0]
-            # read the PREVIOUS step's loss: keeps the device pipeline full
+            self.state, metrics = self.train_step(self.state, key, dispatch)
+            n_images += k * cfg.data.batch_size
+            # read the PREVIOUS dispatch's loss: keeps the pipeline full
             if pending_loss is not None:
-                losses.update(float(pending_loss), cfg.data.batch_size)
+                losses.update(float(pending_loss), k * cfg.data.batch_size)
             pending_loss = metrics["loss"]
             if it % cfg.train.logging_steps == 0:
                 bar.suffix = (f"loss: {losses.avg:.6f} | count: {self.count}")
             bar.next()
         if pending_loss is not None:
-            losses.update(float(pending_loss), cfg.data.batch_size)
+            losses.update(float(pending_loss), k * cfg.data.batch_size)
         bar.finish()
         elapsed = time.time() - t0
         ips = n_images / elapsed if elapsed > 0 else 0.0

@@ -69,6 +69,76 @@ def make_train_step(heatmap_size: int = 64, stride: float = 4.0,
     return train_step
 
 
+def make_fused_train_step(heatmap_size: int = 64, stride: float = 4.0,
+                          sigma: float = 2.0, jitter: bool = True,
+                          scan_steps: int = 1):
+    """Fully-fused train step: uint8 batch in, preprocess (jitter +
+    normalize, ops/color.py) inside the jit, optional ``lax.scan`` over
+    ``scan_steps`` pre-staged microbatches.
+
+    vs the plain ``make_train_step``:
+    - H2D traffic drops 4x (uint8 crosses the wire, f32 never exists in
+      HBM — the normalize emits bf16 straight into the first conv);
+    - with scan_steps>1, one Python dispatch drives K optimizer steps
+      (on v5e: bs128 K=4 -> +5% over per-step dispatch).
+
+    Returns step(state, key, batch) -> (state, metrics) where batch has
+    image_u8 [K?, B, H, W, 3] u8, joints [K?, B, 21, 2], aug_enabled
+    [K?, B] (leading K only when scan_steps > 1). Donates state.
+    """
+    import functools as _functools
+
+    from lighthand_tpu.ops.color import color_jitter, normalize_imagenet
+
+    def _preprocess(key, images_u8, aug_enabled):
+        imgs = images_u8.astype(jnp.float32) / 255.0
+        if jitter:
+            keys = jax.random.split(key, imgs.shape[0])
+            imgs = jax.vmap(color_jitter)(keys, imgs, enable=aug_enabled)
+        return normalize_imagenet(imgs).astype(jnp.bfloat16)
+
+    def _one(state, key, images_u8, joints, aug_enabled):
+        images = _preprocess(key, images_u8, aug_enabled)
+        targets = generate_target_batch(joints[..., :2], heatmap_size,
+                                        stride, sigma)
+
+        def loss_fn(params):
+            return _forward_loss(params, state.batch_stats, state.apply_fn,
+                                 images, targets, train=True)
+
+        (loss, (_, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        return state.apply_gradients(grads, new_stats), loss
+
+    if scan_steps == 1:
+        @_functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state, key, batch):
+            state, loss = _one(state, key, batch["image_u8"],
+                               batch["joints"], batch["aug_enabled"])
+            return state, {"loss": loss}
+
+        return step
+
+    @_functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, key, batch):
+        keys = jax.random.split(key, scan_steps)
+
+        def body(s, xs):
+            k, imgs, joints, aug = xs
+            s, loss = _one(s, k, imgs, joints, aug)
+            return s, loss
+
+        state, losses = jax.lax.scan(
+            body, state,
+            (keys, batch["image_u8"], batch["joints"],
+             batch["aug_enabled"]),
+        )
+        return state, {"loss": jnp.mean(losses)}
+
+    return step
+
+
 def make_eval_step(heatmap_size: int = 64, stride: float = 4.0,
                    sigma: float = 2.0, pck_t: float = 0.2):
     """Returns eval_step(state, batch) -> metrics dict, all on-device.

@@ -69,7 +69,9 @@ def test_device_preprocessor_normalizes():
     want = (128 / 255.0 - np.array([0.485, 0.456, 0.406])) / np.array(
         [0.229, 0.224, 0.225]
     )
-    np.testing.assert_allclose(np.asarray(out[0, 0, 0]), want, atol=1e-5)
+    # output is bf16 (the model's compute dtype)
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]).astype(np.float32),
+                               want, atol=2e-2)
     # jitter-enabled sample differs (generically)
     out2 = pre(jax.random.PRNGKey(0), imgs, jnp.asarray([1.0, 1.0]))
     assert not np.allclose(np.asarray(out2), np.asarray(out))
