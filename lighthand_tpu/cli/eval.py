@@ -79,11 +79,15 @@ def main(argv=None) -> int:
         state = load_weights_only(state, ckpt)
 
         loader = Loader(eval_src, cfg.data.batch_size, mesh=mesh,
-                        shuffle=False, num_workers=cfg.data.num_workers)
+                        shuffle=False, num_workers=cfg.data.num_workers,
+                        drop_last=False)  # keep all 971 eval samples
         out_json = os.path.join("output", run_name, "evaluation.json")
+        overlay_dir = (os.path.join("output", run_name)
+                       if cfg.eval.plt else None)
         pred_store(loader, lambda im: predict_step(state, im)[0],
                    out_json, preprocess=preprocess,
-                   rng_key=jax.random.PRNGKey(1))
+                   rng_key=jax.random.PRNGKey(1),
+                   overlay_dir=overlay_dir)
         stores.append((out_json, run_name))
 
     for t_type, t_list in THRESHOLD_REGIMES:

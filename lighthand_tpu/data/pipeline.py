@@ -66,11 +66,19 @@ class DevicePreprocessor:
         return self._apply(key, images_u8, aug_enabled)
 
 
-def _collate(samples) -> Dict[str, np.ndarray]:
+def _collate(samples, pad_to: int = 0) -> Dict[str, np.ndarray]:
+    n_real = len(samples)
+    if pad_to and n_real < pad_to:
+        # pad the ragged tail by repeating the last sample; batch["valid"]
+        # masks the padding out downstream (jit shapes stay static)
+        samples = list(samples) + [samples[-1]] * (pad_to - n_real)
     images = np.stack([s.image for s in samples])
     joints = np.stack([s.joints for s in samples]).astype(np.float32)
     aug = np.asarray([s.aug_enabled for s in samples], dtype=np.float32)
-    batch = {"image_u8": images, "joints": joints, "aug_enabled": aug}
+    valid = np.zeros(len(samples), np.float32)
+    valid[:n_real] = 1.0
+    batch = {"image_u8": images, "joints": joints, "aug_enabled": aug,
+             "valid": valid}
     if samples[0].meta and "pose_ctgy" in samples[0].meta:
         # host-side metadata (stays off-device; used by eval/harness.py)
         batch["pose_ctgy"] = [s.meta["pose_ctgy"] for s in samples]
@@ -80,8 +88,11 @@ def _collate(samples) -> Dict[str, np.ndarray]:
 class Loader:
     """Iterable over device-resident, mesh-sharded batches.
 
-    Drops the last partial batch (static shapes for jit; the reference's
-    DataLoader kept ragged tails, which XLA would re-compile on).
+    Static shapes for jit: the ragged tail is either dropped
+    (drop_last=True, training default) or padded to a full batch with a
+    ``valid`` mask (drop_last=False, evaluation — the reference's
+    DataLoader kept ragged tails, which XLA would re-compile on; padding
+    keeps every sample AND one compiled shape).
     """
 
     def __init__(
@@ -133,7 +144,9 @@ class Loader:
             def fetch(batch_idx):
                 lo = batch_idx * self.batch_size
                 hi = min(lo + self.batch_size, limit)
-                return _collate([self.source[i] for i in order[lo:hi]])
+                return _collate([self.source[i] for i in order[lo:hi]],
+                                pad_to=0 if self.drop_last
+                                else self.batch_size)
 
             total = len(self)
             pending = []

@@ -44,18 +44,21 @@ def dump(path: str, payload) -> None:
 
 
 def pred_store(loader, predict_fn, out_path: str,
-               preprocess=None, rng_key=None) -> Dict:
+               preprocess=None, rng_key=None,
+               overlay_dir: str | None = None) -> Dict:
     """Run inference over the (Armo) eval loader and bucket
     {bbox_diag, pred, gt} per pose category (argparser.py:246-281).
 
     ``predict_fn(images) -> pred_joints [B,21,2]`` (already x4 to image
     space). ``loader`` yields device batches with joints [B,21,3] and meta
-    categories list.
+    categories list. ``overlay_dir`` saves GT/pred overlays per sample
+    (the reference's --plt path, argparser.py:304-309).
     """
     import jax
 
     meta = {c: {"bb": [], "pred": [], "gt": []} for c in POSE_CATEGORIES}
 
+    sample_idx = 0
     for batch in loader:
         images_u8 = batch["image_u8"]
         if preprocess is not None:
@@ -69,8 +72,11 @@ def pred_store(loader, predict_fn, out_path: str,
         gt = np.asarray(batch["joints"])  # [B,21,3] with visibility
         cats = batch.get("pose_ctgy",
                          ["Standard"] * images_u8.shape[0])
+        valid = np.asarray(batch.get("valid", np.ones(gt.shape[0])))
 
         for i in range(gt.shape[0]):
+            if not valid[i]:
+                continue  # padding row of the final partial batch
             w = gt[i, :, 0].max() - gt[i, :, 0].min()
             h = gt[i, :, 1].max() - gt[i, :, 1].min()
             bb = float(np.sqrt(w**2 + h**2))
@@ -78,6 +84,14 @@ def pred_store(loader, predict_fn, out_path: str,
             meta[cat]["bb"].append(bb)
             meta[cat]["pred"].append(pred[i].tolist())
             meta[cat]["gt"].append(gt[i].tolist())
+            if overlay_dir is not None:
+                from lighthand_tpu.utils.visualize import save_overlay
+
+                save_overlay(
+                    np.asarray(images[i], dtype=np.float32), gt[i], pred[i],
+                    overlay_dir, "eval", 0, sample_idx,
+                )
+            sample_idx += 1
 
     dump(out_path, meta)
     return meta
@@ -162,6 +176,9 @@ def pred_store_test(loader, predict_fn, out_path: str,
             images = images_u8
         pred = np.asarray(predict_fn(images))
         gt = np.asarray(batch["joints"])[..., :2]
+        valid = np.asarray(batch.get("valid", np.ones(gt.shape[0])))
+        keep = valid > 0
+        pred, gt = pred[keep], gt[keep]
         bb = []
         for i in range(gt.shape[0]):
             w = gt[i, :, 0].max() - gt[i, :, 0].min()
