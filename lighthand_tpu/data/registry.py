@@ -60,7 +60,7 @@ def build_dataset(cfg: Config) -> Tuple[Source, Source]:
         # dataset_loader.py:515-551, never reachable from build_dataset);
         # here it is a first-class route. Handled before the synthetic
         # shortcut so each sub-dataset falls back independently.
-        from lighthand_tpu.data.records import ConcatSource
+        from lighthand_tpu.data.records import ConcatSource, SubsetSource
 
         trains, vals = [], []
         for sub in ("ours", "frei", "rhd"):
@@ -68,10 +68,16 @@ def build_dataset(cfg: Config) -> Tuple[Source, Source]:
             cfg.data.dataset = sub
             try:
                 t, v = build_dataset(cfg)
-                trains.append(t)
-                vals.append(v)
             finally:
                 cfg.data.dataset = old
+            if sub != "ours" and 0 < cfg.data.ratio_of_other < 1:
+                # --ratio_of_other scales the non-LightHand contribution
+                # (reference's dormant add_our ratio math,
+                # dataset_loader.py:517, simplified to a plain fraction)
+                t = SubsetSource(t, range(int(len(t)
+                                              * cfg.data.ratio_of_other)))
+            trains.append(t)
+            vals.append(v)
         return ConcatSource(*trains), ConcatSource(*vals)
 
     if cfg.data.synthetic:

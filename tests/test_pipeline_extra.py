@@ -24,6 +24,38 @@ def test_iteration_loader_resume():
     assert seen == [3, 4]
 
 
+def test_loader_pads_final_batch():
+    ds = SyntheticHands(length=20, size=32)
+    loader = Loader(ds, batch_size=8, shuffle=False, num_workers=1,
+                    drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 3
+    import numpy as np
+
+    last = batches[-1]
+    assert last["image_u8"].shape == (8, 32, 32, 3)  # padded to full
+    valid = np.asarray(last["valid"])
+    assert valid.sum() == 4  # 20 - 2*8
+    assert list(valid[:4]) == [1, 1, 1, 1]
+    # padding repeats the last real sample
+    np.testing.assert_array_equal(np.asarray(last["image_u8"])[3],
+                                  np.asarray(last["image_u8"])[7])
+
+
+def test_mix_ratio_of_other():
+    from lighthand_tpu.config import Config
+    from lighthand_tpu.data import build_dataset
+
+    cfg = Config(name="simplebaseline/mix/r")
+    cfg.data.synthetic = True
+    cfg.data.num_our = 512
+    cfg.data.ratio_of_other = 0.25
+    cfg.finalize()
+    train, _ = build_dataset(cfg)
+    # ours: 512, frei/rhd: 512*0.25 each
+    assert len(train) == 512 + 2 * 128
+
+
 def test_geometry_camera_calibration():
     import jax.numpy as jnp
 
