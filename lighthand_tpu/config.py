@@ -135,6 +135,11 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
     parser.add_argument("--ratio_of_aug", default=0.6, type=float)
     parser.add_argument("--epoch", default=100, type=int)
     parser.add_argument("--lr", default=0.001, type=float)
+    # Flags below are accepted for recipe compatibility. --scale/--rot/
+    # --color/--logger/--test/--D3/--view/--milestone are parsed but have
+    # no effect on the training path IN THE REFERENCE EITHER (argparser.py
+    # defines them; no consumer changes model/data behavior — --D3 only
+    # alters a log string, train.py:43).
     parser.add_argument("--scale", action="store_true")
     parser.add_argument("--plt", action="store_true")
     parser.add_argument("--transfer", action="store_true")
