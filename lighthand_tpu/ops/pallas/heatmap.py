@@ -11,8 +11,16 @@ computing the distance field with broadcasted iotas on the VPU:
   scalar input: quantized centers + validity (prefetched to SMEM)
   output block: [J, H, H] written once, no HBM round-trips
 
-Semantics identical to ops.heatmap.generate_target (verified against it in
-tests/test_pallas.py, including interpret mode on CPU).
+Semantics identical to ops.heatmap.generate_target (verified bit-exact on
+real TPU v5e: max |diff| = 0.0; also in interpret mode on CPU,
+tests/test_pallas.py).
+
+Measured standalone on v5e (bs128): jnp 252 us vs pallas 275 us — XLA
+already emits an optimal fused VPU loop for the distance-field
+formulation, and a standalone pallas_call adds launch overhead. The
+production train step therefore uses the jnp version (which additionally
+fuses INTO the surrounding step); this kernel is kept as the validated
+Pallas reference implementation for the op.
 """
 
 from __future__ import annotations
