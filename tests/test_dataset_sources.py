@@ -1,0 +1,210 @@
+"""LightHand / Armo / RHD dataset sources over generated data trees."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture
+def fake_lighthand(tmp_path, rng):
+    root = tmp_path
+    base = root / "LightHand"
+    img_dir = base / "images" / "train"
+    os.makedirs(img_dir)
+    os.makedirs(base / "annotations" / "train")
+    os.makedirs(base / "annotations" / "eval")
+
+    def make_split(phase, n):
+        recs = []
+        for i in range(n):
+            p = str(img_dir / f"{phase}_{i:04d}.jpg")
+            cv2.imwrite(p, rng.integers(0, 255, size=(224, 224, 3),
+                                        dtype=np.uint8))
+            recs.append({"file_name": p,
+                         "joint_2d": rng.uniform(10, 210,
+                                                 size=(21, 2)).tolist()})
+        path = base / "annotations" / phase / f"CISLAB_{phase}_data.json"
+        path.write_text(json.dumps(recs))
+        return recs
+
+    make_split("train", 10)
+    make_split("eval", 4)
+    return str(root)
+
+
+def test_lighthand_dataset(fake_lighthand, rng):
+    from lighthand_tpu.data.lighthand import LightHandDataset, LightHandValSet
+
+    ds = LightHandDataset(fake_lighthand, "train", num_our=8,
+                          ratio_of_aug=0.5, image_size=256)
+    assert len(ds) == 8  # clamped to num_our
+    s = ds[0]
+    assert s.image.shape == (256, 256, 3)
+    assert s.joints.shape == (21, 2)
+    # joints scaled x(256/224)
+    assert s.joints.max() <= 210 * 256 / 224 + 1e-3
+    # prefix-fraction jitter gate (dataset.py:134): idx < len(meta)*0.5
+    assert ds[0].aug_enabled and not ds[9 - 2].aug_enabled
+
+    val = LightHandValSet(fake_lighthand, "eval", image_size=256)
+    assert len(val) == 4
+    assert not val[0].aug_enabled
+
+
+@pytest.fixture
+def fake_armo(tmp_path, rng):
+    root = tmp_path
+    rgb = root / "Armo_hand_dataset" / "rgb"
+    os.makedirs(rgb)
+    annos = {}
+    for i in range(5):
+        cv2.imwrite(str(rgb / f"im{i}.jpg"),
+                    rng.integers(0, 255, size=(256, 256, 3), dtype=np.uint8))
+        annos[str(i)] = {
+            "coordinates": rng.uniform(0.1, 0.9, size=(21, 2)).tolist(),
+            "visible": [1.0] * 21,
+            "pose_ctgy": ["Standard", "Occlusion_by_Pinky",
+                          "Occlusion_by_Thumb", "Occlusion_by_Both",
+                          "Standard"][i],
+            "file_name": f"im{i}.jpg",
+            "image_id": f"im{i}",
+        }
+    # one incomplete record that must be dropped (dataset.py:242-250)
+    annos["bad"] = {"coordinates": [[0.5, 0.5]] * 10, "visible": [1] * 10,
+                    "pose_ctgy": "Standard", "file_name": "x",
+                    "image_id": "im0"}
+    (root / "Armo_hand_dataset" / "annotations.json").write_text(
+        json.dumps(annos))
+    return str(root)
+
+
+def test_armo_eval_set(fake_armo):
+    from lighthand_tpu.data.armo import ArmoEvalSet
+
+    ds = ArmoEvalSet(fake_armo, phase="eval", image_size=256)
+    assert len(ds) == 5  # the incomplete record is dropped
+    s = ds[0]
+    assert s.image.shape == (256, 256, 3)
+    assert s.joints.shape == (21, 3)  # xy + visibility
+    assert s.meta["pose_ctgy"] == "Standard"
+    # normalized coords scaled to pixels
+    assert 0.1 * 256 - 1 <= s.joints[:, :2].min()
+    assert s.joints[:, :2].max() <= 0.9 * 256 + 1
+
+
+@pytest.fixture
+def fake_rhd(tmp_path, rng):
+    root = tmp_path
+    base = root / "RHD_published_v2" / "evaluation"
+    os.makedirs(base / "color")
+    os.makedirs(base / "mask")
+    anno = {}
+    for i in range(3):
+        cv2.imwrite(str(base / "color" / f"{i:05d}.png"),
+                    rng.integers(0, 255, size=(320, 320, 3), dtype=np.uint8))
+        # mask with a generous hand region (labels > 17)
+        mask = np.zeros((320, 320), np.uint8)
+        mask[100:200, 100:220] = 20
+        cv2.imwrite(str(base / "mask" / f"{i:05d}.png"), mask)
+        # 42 joints in 3D camera space; right-hand block is rows 21:
+        xyz = np.concatenate([
+            rng.uniform(-0.1, 0.1, size=(21, 3)) + [0, 0, 0.5],
+            rng.uniform(-0.05, 0.05, size=(21, 3)) + [0, 0, 0.5],
+        ])
+        k = np.array([[320.0, 0, 160.0], [0, 320.0, 160.0], [0, 0, 1.0]])
+        anno[i] = {"K": k, "xyz": xyz}
+    with open(base / "anno_evaluation.pickle", "wb") as f:
+        pickle.dump(anno, f)
+    return str(root)
+
+
+def test_rhd_dataset(fake_rhd):
+    from lighthand_tpu.data.rhd import RHDDataset
+
+    ds = RHDDataset(fake_rhd, "evaluation", image_size=256)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s.image.shape == (256, 256, 3)
+    assert s.joints.shape == (21, 2)
+    assert np.isfinite(s.joints).all()
+    assert (s.joints >= -256).all() and (s.joints <= 512).all()
+
+
+@pytest.fixture
+def fake_gan(tmp_path, rng):
+    root = tmp_path
+    base = root / "GANeratedHands_Release" / "data" / "noObject" / "0001"
+    os.makedirs(base)
+    for i in range(1, 4):
+        cv2.imwrite(str(base / f"{i:04d}_color.png"),
+                    rng.integers(0, 255, size=(256, 256, 3), dtype=np.uint8))
+        joints = rng.uniform(10, 240, size=(21, 2)).reshape(-1)
+        (base / f"{i:04d}_joint2D.txt").write_text(
+            ",".join(f"{v:.3f}" for v in joints) + ",")
+    return str(root)
+
+
+def test_gan_dataset(fake_gan):
+    from lighthand_tpu.data.gan import GANeratedDataset
+
+    ds = GANeratedDataset(fake_gan, image_size=256)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s.image.shape == (256, 256, 3)
+    assert s.joints.shape == (21, 2)
+    # reference truncates joint floats to int (dataset_loader.py:490)
+    assert np.allclose(s.joints, np.trunc(s.joints))
+
+
+@pytest.fixture
+def fake_interhand(tmp_path, rng):
+    root = tmp_path
+    base = root / "InterHand2.6M_5fps_batch1"
+    annot = base / "annotations" / "val"
+    os.makedirs(annot)
+    img_dir = base / "images" / "val"
+    os.makedirs(img_dir)
+
+    images, annotations = [], []
+    cameras = {"0": {"campos": {"4": [0.0, 0.0, -500.0]},
+                     "camrot": {"4": np.eye(3).tolist()},
+                     "focal": {"4": [600.0, 600.0]},
+                     "princpt": {"4": [160.0, 160.0]}}}
+    joints3d = {"0": {}}
+    for i in range(3):
+        fn = f"img{i}.jpg"
+        cv2.imwrite(str(img_dir / fn),
+                    rng.integers(0, 255, size=(320, 320, 3), dtype=np.uint8))
+        images.append({"id": i, "file_name": fn, "width": 320,
+                       "height": 320, "capture": 0, "camera": "4",
+                       "frame_idx": i, "seq_name": "s"})
+        annotations.append({"id": i, "image_id": i, "hand_type": "right",
+                            "hand_type_valid": 1,
+                            "joint_valid": [1] * 42,
+                            "bbox": [100, 100, 120, 120]})
+        world = rng.uniform(-40, 40, size=(42, 3))
+        world[:, 2] = 0.0
+        joints3d["0"][str(i)] = {"world_coord": world.tolist()}
+
+    (annot / "InterHand2.6M_val_data.json").write_text(
+        json.dumps({"images": images, "annotations": annotations}))
+    (annot / "InterHand2.6M_val_camera.json").write_text(json.dumps(cameras))
+    (annot / "InterHand2.6M_val_joint_3d.json").write_text(
+        json.dumps(joints3d))
+    return str(root)
+
+
+def test_interhand_dataset(fake_interhand):
+    from lighthand_tpu.data.interhand import InterHandDataset
+
+    ds = InterHandDataset(fake_interhand, "val", image_size=256)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s.image.shape == (256, 256, 3)
+    assert s.joints.shape == (21, 2)
+    assert np.isfinite(s.joints).all()
