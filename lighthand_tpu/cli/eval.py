@@ -16,7 +16,12 @@ from lighthand_tpu.config import parse_args
 from lighthand_tpu.core.dtypes import DTypePolicy
 from lighthand_tpu.core.mesh import MeshSpec, create_mesh, replicated_sharding
 from lighthand_tpu.data import DevicePreprocessor, Loader, build_dataset
-from lighthand_tpu.eval.harness import pred_eval, pred_store
+from lighthand_tpu.eval.harness import (
+    pred_eval,
+    pred_store,
+    pred_store_test,
+    pred_test,
+)
 from lighthand_tpu.models import get_model
 from lighthand_tpu.train.checkpoint import load_weights_only
 from lighthand_tpu.train.state import create_train_state
@@ -81,14 +86,30 @@ def main(argv=None) -> int:
         loader = Loader(eval_src, cfg.data.batch_size, mesh=mesh,
                         shuffle=False, num_workers=cfg.data.num_workers,
                         drop_last=False)  # keep all 971 eval samples
-        out_json = os.path.join("output", run_name, "evaluation.json")
-        overlay_dir = (os.path.join("output", run_name)
-                       if cfg.eval.plt else None)
-        pred_store(loader, lambda im: predict_step(state, im)[0],
-                   out_json, preprocess=preprocess,
-                   rng_key=jax.random.PRNGKey(1),
-                   overlay_dir=overlay_dir)
+        if cfg.eval.test:
+            # flat --test flow (reference pred_store_test/pred_test,
+            # argparser.py:284-323,391-438): final_model/{name}/test.json
+            out_json = os.path.join("final_model", run_name, "test.json")
+            pred_store_test(loader, lambda im: predict_step(state, im)[0],
+                            out_json, preprocess=preprocess,
+                            rng_key=jax.random.PRNGKey(1))
+        else:
+            out_json = os.path.join("output", run_name, "evaluation.json")
+            overlay_dir = (os.path.join("output", run_name)
+                           if cfg.eval.plt else None)
+            pred_store(loader, lambda im: predict_step(state, im)[0],
+                       out_json, preprocess=preprocess,
+                       rng_key=jax.random.PRNGKey(1),
+                       overlay_dir=overlay_dir)
         stores.append((out_json, run_name))
+
+    if cfg.eval.test:
+        for t_type, t_list in THRESHOLD_REGIMES:
+            for out_json, run_name in stores:
+                auc, epe_px = pred_test(out_json, t_list, t_type)
+                print(f"{run_name} [{t_type} {t_list[1]}]: "
+                      f"auc={auc:.2f} epe={epe_px:.2f}px")
+        return 0
 
     for t_type, t_list in THRESHOLD_REGIMES:
         rows = []

@@ -126,25 +126,6 @@ class BottleneckCaffe(nn.Module):
         return nn.relu(out + residual)
 
 
-def make_res_layer(block: ModuleDef, planes: int, blocks: int, in_features: int,
-                   stride: int = 1, policy: DTypePolicy = DEFAULT_POLICY,
-                   name_prefix: str = "block"):
-    """Returns a callable stacking ``blocks`` residual blocks, matching
-    _make_layer (pose_resnet.py:177-192)."""
-    expansion = block.expansion
-    needs_down = stride != 1 or in_features != planes * expansion
-
-    def apply(module_parent, x, train):
-        x = block(planes, stride, needs_down, policy,
-                  name=f"{name_prefix}0")(x, train)
-        for i in range(1, blocks):
-            x = block(planes, 1, False, policy,
-                      name=f"{name_prefix}{i}")(x, train)
-        return x
-
-    return apply
-
-
 def nearest_upsample(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """nn.Upsample(scale_factor=2**(j-i), mode='nearest') equivalent
     (pose_hrnet.py:206) — cheap jnp repeat, fuses with the preceding conv."""
