@@ -20,10 +20,10 @@ this image to measure directly. vs_baseline = value / 330.0.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_IMG_PER_SEC = 330.0  # torch HRNet-W32@256 bs32 on A100 (see above)
@@ -34,11 +34,21 @@ SIZE = 256
 WARMUP = 2
 MEASURE = 8        # dispatches; = MEASURE * SCAN_STEPS optimizer steps
 
+# BASELINE.md configs beyond the headline (run with --all):
+#   SimpleBaseline(resnet50)@256 and HRNet-W48@256 at their own batch sweet
+#   spots. Values land in BENCH_TABLE.json; the headline line stays the
+#   driver contract.
+EXTRA_CONFIGS = [
+    ("simplebaseline", 256, 256, "bf16"),
+    ("hrnet_w48", 64, 256, "bf16"),
+    ("hrnet_w32", 128, 256, "all_bf16"),
+]
 
-def main() -> None:
-    from lighthand_tpu.core.cache import enable_compilation_cache
 
-    enable_compilation_cache()
+def measure(model_name: str, batch: int, size: int,
+            precision: str = "bf16", scan_steps: int = SCAN_STEPS,
+            measure: int = MEASURE) -> float:
+    from lighthand_tpu.core.dtypes import DTypePolicy
     from lighthand_tpu.core.mesh import (
         MeshSpec,
         create_mesh,
@@ -51,12 +61,14 @@ def main() -> None:
     mesh = create_mesh(MeshSpec())
     n_chips = len(jax.devices())
 
-    model = get_model("hrnet_w32")
+    policy = (DTypePolicy.all_bf16() if precision == "all_bf16"
+              else DTypePolicy())
+    model = get_model(model_name, policy=policy)
     state = create_train_state(model, jax.random.PRNGKey(0),
-                               input_shape=(1, SIZE, SIZE, 3), lr=1e-3)
+                               input_shape=(1, size, size, 3), lr=1e-3)
     state = jax.device_put(state, replicated_sharding(mesh))
-    step = make_fused_train_step(heatmap_size=SIZE // 4, stride=4.0,
-                                 jitter=True, scan_steps=SCAN_STEPS)
+    step = make_fused_train_step(heatmap_size=size // 4, stride=4.0,
+                                 jitter=True, scan_steps=scan_steps)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -67,29 +79,49 @@ def main() -> None:
         spec = P(None, "data", *([None] * (x.ndim - 2)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    images_u8 = shard(rng.integers(
-        0, 255, size=(SCAN_STEPS, BATCH, SIZE, SIZE, 3), dtype=np.uint8))
-    joints = shard(rng.uniform(
-        16, SIZE - 16, size=(SCAN_STEPS, BATCH, 21, 2)).astype(np.float32))
-    aug = shard(np.ones((SCAN_STEPS, BATCH), np.float32))
-    batch = {"image_u8": images_u8, "joints": joints, "aug_enabled": aug}
+    batch_d = {
+        "image_u8": shard(rng.integers(
+            0, 255, size=(scan_steps, batch, size, size, 3),
+            dtype=np.uint8)),
+        "joints": shard(rng.uniform(
+            16, size - 16,
+            size=(scan_steps, batch, 21, 2)).astype(np.float32)),
+        "aug_enabled": shard(np.ones((scan_steps, batch), np.float32)),
+        "noise_enabled": shard(np.zeros((scan_steps, batch), np.float32)),
+    }
     key = jax.random.PRNGKey(1)
 
     for _ in range(WARMUP):
         key, sub = jax.random.split(key)
-        state, metrics = step(state, sub, batch)
+        state, metrics = step(state, sub, batch_d)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
-    for _ in range(MEASURE):
+    for _ in range(measure):
         key, sub = jax.random.split(key)
-        state, metrics = step(state, sub, batch)
+        state, metrics = step(state, sub, batch_d)
     jax.block_until_ready(metrics["loss"])
     elapsed = time.perf_counter() - t0
 
-    total_images = MEASURE * SCAN_STEPS * BATCH
-    ips_per_chip = total_images / elapsed / n_chips
+    return measure * scan_steps * batch / elapsed / n_chips
 
+
+def main() -> None:
+    from lighthand_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    if "--all" in sys.argv:
+        table = {}
+        for model_name, batch, size, precision in EXTRA_CONFIGS:
+            ips = measure(model_name, batch, size, precision)
+            key = f"{model_name}@{size} bs{batch} {precision}"
+            table[key] = round(ips, 2)
+            print(f"# {key}: {ips:.2f} img/s/chip", flush=True)
+        with open("BENCH_TABLE.json", "w") as f:
+            json.dump(table, f, indent=1)
+
+    ips_per_chip = measure("hrnet_w32", BATCH, SIZE, "bf16")
     print(json.dumps({
         "metric": f"train images/sec/chip (HRNet-W32@256^2, bs{BATCH}, "
                   f"bf16, scan{SCAN_STEPS}, incl. on-device "

@@ -47,6 +47,10 @@ def find_checkpoints(model_path: str):
 
 
 def main(argv=None) -> int:
+    # before any backend query: multi-host runs need the global device set
+    from lighthand_tpu.core.dist import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     cfg = parse_args(argv, phase="test")
     cfg.eval.eval = True
 
@@ -102,6 +106,11 @@ def main(argv=None) -> int:
                        rng_key=jax.random.PRNGKey(1),
                        overlay_dir=overlay_dir)
         stores.append((out_json, run_name))
+
+    from lighthand_tpu.core.mesh import is_host_leader
+
+    if not is_host_leader():
+        return 0  # only process 0 wrote the stores / reports the curves
 
     if cfg.eval.test:
         for t_type, t_list in THRESHOLD_REGIMES:

@@ -1,0 +1,122 @@
+"""Deterministic synthetic dataset trees in the reference's on-disk layouts.
+
+Real LightHand99K / Armo data is not mountable in this image, so accuracy
+parity is demonstrated end-to-end on a deterministic synthetic stand-in
+written in the EXACT formats the real loaders consume:
+
+- LightHand layout ({root}/LightHand/annotations/{phase}/
+  CISLAB_{phase}_data.json + JPEGs; images at 224 px with joints in 224
+  space, scaled x size/224 at load — reference src/tools/dataset.py:132)
+- Armo layout ({root}/Armo_hand_dataset/rgb/*.jpg + annotations.json with
+  normalized coordinates, per-joint visibility and pose categories —
+  reference src/tools/dataset.py:233-300)
+
+so a training + evaluation run exercises the same storage / annotation /
+crop code paths as the real datasets (PARITY_RESULTS.md).
+
+Usage:
+    python -m lighthand_tpu.cli.make_synth_data --out /root/data \
+        --n-train 20000 --n-eval 2000 --n-armo 971
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from lighthand_tpu.data.armo import POSE_CATEGORIES
+from lighthand_tpu.data.synthetic import render_hand, synth_hand_joints
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+def _write_jpg(path: str, img_rgb: np.ndarray) -> None:
+    cv2.imwrite(path, cv2.cvtColor(img_rgb, cv2.COLOR_RGB2BGR),
+                [int(cv2.IMWRITE_JPEG_QUALITY), 95])
+
+
+def write_lighthand_tree(root: str, phase: str, n: int, seed: int,
+                         size: int = 224, log_every: int = 2000) -> str:
+    """LightHand-format shard: JPEGs + CISLAB_{phase}_data.json."""
+    img_dir = os.path.join(root, "LightHand", "images", phase)
+    anno_dir = os.path.join(root, "LightHand", "annotations", phase)
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(anno_dir, exist_ok=True)
+    meta = []
+    t0 = time.time()
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        joints = synth_hand_joints(rng, size)
+        img = render_hand(joints, rng, size)
+        fname = os.path.join(img_dir, f"{i:07d}.jpg")
+        _write_jpg(fname, img)
+        meta.append({"file_name": fname, "joint_2d": joints.tolist()})
+        if log_every and (i + 1) % log_every == 0:
+            rate = (i + 1) / (time.time() - t0)
+            print(f"  {phase}: {i + 1}/{n} ({rate:.0f} img/s)", flush=True)
+    anno_path = os.path.join(anno_dir, f"CISLAB_{phase}_data.json")
+    with open(anno_path, "w") as f:
+        json.dump(meta, f)
+    return anno_path
+
+
+def write_armo_tree(root: str, n: int, seed: int, size: int = 256,
+                    log_every: int = 2000) -> str:
+    """Armo-format eval set: rgb/*.jpg + annotations.json with normalized
+    coordinates, visibility, and a pose category per record."""
+    rgb_dir = os.path.join(root, "Armo_hand_dataset", "rgb")
+    os.makedirs(rgb_dir, exist_ok=True)
+    records = {}
+    t0 = time.time()
+    for i in range(n):
+        rng = np.random.default_rng(seed * 2_000_003 + i)
+        joints = synth_hand_joints(rng, size)
+        img = render_hand(joints, rng, size)
+        _write_jpg(os.path.join(rgb_dir, f"{i:06d}.jpg"), img)
+        vis = (rng.uniform(size=21) > 0.15).astype(float)
+        vis[0] = 1.0
+        records[str(i)] = {
+            "image_id": f"{i:06d}",
+            "coordinates": (joints / size).tolist(),
+            "visible": vis.tolist(),
+            "pose_ctgy": POSE_CATEGORIES[i % len(POSE_CATEGORIES)],
+        }
+        if log_every and (i + 1) % log_every == 0:
+            rate = (i + 1) / (time.time() - t0)
+            print(f"  armo: {i + 1}/{n} ({rate:.0f} img/s)", flush=True)
+    anno_path = os.path.join(root, "Armo_hand_dataset", "annotations.json")
+    with open(anno_path, "w") as f:
+        json.dump(records, f)
+    return anno_path
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-train", type=int, default=20000)
+    p.add_argument("--n-eval", type=int, default=2000)
+    p.add_argument("--n-armo", type=int, default=971)
+    p.add_argument("--seed", type=int, default=9001)
+    a = p.parse_args(argv)
+
+    print(f"writing synthetic LightHand tree under {a.out}", flush=True)
+    if a.n_train:
+        write_lighthand_tree(a.out, "train", a.n_train, a.seed)
+    if a.n_eval:
+        write_lighthand_tree(a.out, "eval", a.n_eval, a.seed + 77)
+    if a.n_armo:
+        write_armo_tree(a.out, a.n_armo, a.seed + 555)
+    print("done", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

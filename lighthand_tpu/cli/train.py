@@ -16,6 +16,10 @@ from lighthand_tpu.train.loop import train_from_config
 
 
 def main(argv=None) -> int:
+    # before any backend query: multi-host runs need the global device set
+    from lighthand_tpu.core.dist import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     cfg = parse_args(argv, phase="train")
     result = train_from_config(cfg)
     print(

@@ -67,6 +67,10 @@ class TrainConfig:
     visualize: bool = True         # save overlay images 3x/epoch
     assume_yes: bool = False       # non-interactive --reset confirmation
     steps_per_dispatch: int = 1    # lax.scan K optimizer steps per dispatch
+    flip: bool = False             # random hflip aug (TPU extension; the
+    # reference's flip is permanently off, frei_dataloader.py:107)
+    trace: bool = False            # capture an XLA profiler trace of a few
+    # steps of the first epoch into {output_dir}/trace
 
 
 @dataclasses.dataclass
@@ -167,6 +171,12 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
     parser.add_argument("--steps-per-dispatch", dest="steps_per_dispatch",
                         default=1, type=int,
                         help="scan K optimizer steps per device dispatch")
+    parser.add_argument("--flip", action="store_true",
+                        help="random horizontal-flip augmentation "
+                             "(TPU extension; off in the reference)")
+    parser.add_argument("--trace", action="store_true",
+                        help="profile a few steps of the first epoch into "
+                             "{output_dir}/trace (TensorBoard-loadable)")
 
     a = parser.parse_args(argv)
 
@@ -197,6 +207,8 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
             reset_optimizer=a.optim,
             assume_yes=a.yes,
             steps_per_dispatch=a.steps_per_dispatch,
+            flip=a.flip,
+            trace=a.trace,
         ),
         eval=EvalConfig(eval=a.eval, test=a.test, plt=a.plt),
     )

@@ -43,6 +43,9 @@ class ArmoEvalSet(Source):
         self.keys = list(self.records)
         self.phase = phase
         self.image_size = image_size
+        # train/val phases rasterize max-combine targets (dataset.py:296-298)
+        if phase != "eval":
+            self.heatmap_style = "max"
 
     def __len__(self):
         return len(self.keys)
@@ -62,4 +65,6 @@ class ArmoEvalSet(Source):
             joints_v = np.concatenate([joints, visible], axis=1)
             return Sample(image=image, joints=joints_v,
                           meta={"pose_ctgy": rec["pose_ctgy"], "idx": key})
-        return Sample(image=image, joints=joints)
+        # train/val phase builds max-combine heatmap targets
+        # (reference dataset.py:296-298 via GenerateHeatmap)
+        return Sample(image=image, joints=joints, hm_max=True)

@@ -105,13 +105,30 @@ class FreiHandTSVDataset(Source):
             rot = 0.0
         return rot, sc
 
+    def getitems(self, indices) -> list:
+        """Batch fetch: bulk-read all image + label rows through the native
+        TSV engine (one lh_read_rows call per TSV instead of a Python
+        seek/readline pair per row), then process per item."""
+        if self.is_composite or not isinstance(self.img_tsv, TSVFile):
+            return [self[int(i)] for i in indices]
+        line_nos = [self._line_no(int(i)) for i in indices]
+        img_rows = self.img_tsv.read_rows(line_nos)
+        label_rows = (self.label_tsv.read_rows(line_nos)
+                      if self.label_tsv else [None] * len(line_nos))
+        return [self._process(int(i), ir, lr)
+                for i, ir, lr in zip(indices, img_rows, label_rows)]
+
     def __getitem__(self, idx: int) -> Sample:
         line_no = self._line_no(idx)
-        row = self.img_tsv[line_no]
-        img_bgr = img_from_base64(row[-1])
+        return self._process(idx, self.img_tsv[line_no],
+                             self.label_tsv[line_no]
+                             if self.label_tsv else None)
+
+    def _process(self, idx: int, img_row, label_row) -> Sample:
+        img_bgr = img_from_base64(img_row[-1])
         img = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB)
 
-        anno = json.loads(self.label_tsv[line_no][1])[0]
+        anno = json.loads(label_row[1])[0]
         center = np.asarray(anno["center"], np.float64)
         scale = float(anno["scale"])
         joints_2d = np.asarray(anno["2d_joints"], np.float32)
@@ -143,6 +160,10 @@ class FreiHandTSVDataset(Source):
         kp_norm = 2.0 * px.astype(np.float32) / self.crop_res - 1.0
         joint_2d = (kp_norm * 100.0 + 112.0) * (self.image_size / 224.0)
 
+        # frei augmentation is per-channel pixel noise (applied on device,
+        # ops/color.py:channel_pixel_noise) — NOT ColorJitter; the reference
+        # never jitters frei samples (frei_dataloader.py:118,142-144).
         return Sample(image=crop.astype(np.uint8),
                       joints=joint_2d.astype(np.float32),
-                      aug_enabled=self.is_train)
+                      aug_enabled=False,
+                      noise_enabled=self.is_train)

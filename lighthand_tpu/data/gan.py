@@ -3,8 +3,11 @@
 Reference: ``GAN`` (src/utils/dataset_loader.py:462-511): walks
 ``noObject`` folders pairing ``*_color.png`` with ``*_joint2D.txt`` (comma
 floats -> 21x2, truncated to int). The reference builds heatmaps with the
-max-combine variant (GenerateHeatmap) — the pipeline applies
-ops.heatmap.generate_heatmap_max for this dataset via the registry.
+max-combine variant (``GenerateHeatmap(64,21)(joint/4)``,
+dataset_loader.py:509) — every Sample here sets ``hm_max``, which the
+jitted train/eval steps route to ops.heatmap.generate_heatmap_max_batch
+(train/step.py:make_targets; the Trainer picks the static "max" rasterizer
+when the whole source tree is max-style).
 """
 
 from __future__ import annotations
@@ -47,4 +50,5 @@ class GANeratedDataset(Source):
         joints = np.asarray(vals, np.float32).astype(int).reshape(21, -1)
         image = _resize(_imread_rgb(os.path.join(self.img_path, img_rel)),
                         self.image_size)
-        return Sample(image=image, joints=joints.astype(np.float32))
+        return Sample(image=image, joints=joints.astype(np.float32),
+                      hm_max=True)

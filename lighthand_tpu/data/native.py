@@ -54,6 +54,16 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.lh_b64_decode.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                       ctypes.POINTER(ctypes.c_ubyte)]
         lib.lh_b64_decode.restype = ctypes.c_int64
+        lib.lh_read_rows.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),  # offsets
+            ctypes.c_int,                    # n_rows
+            ctypes.POINTER(ctypes.c_ubyte),  # arena
+            ctypes.POINTER(ctypes.c_int64),  # arena_offsets
+            ctypes.POINTER(ctypes.c_int64),  # row_lens (out)
+            ctypes.c_int64,                  # max_row_len
+        ]
+        lib.lh_read_rows.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -68,6 +78,44 @@ def native_generate_lineidx(tsv_path: str, idx_path: str) -> bool:
         return False
     rows = lib.lh_generate_lineidx(tsv_path.encode(), idx_path.encode())
     return rows >= 0
+
+
+def native_read_rows(tsv_path: str, all_offsets: np.ndarray,
+                     indices) -> Optional[list]:
+    """Bulk row read: one C call fetches every requested row's bytes
+    (native/tsv_engine.cpp:lh_read_rows). ``all_offsets`` is the full
+    lineidx array; ``indices`` the row numbers wanted. Returns a list of
+    ``bytes`` (tab-separated row, no trailing newline), or None when the
+    native engine is unavailable or the read fails."""
+    lib = _load()
+    if lib is None or len(indices) == 0:
+        return None
+    idx = np.asarray(indices, dtype=np.int64)
+    offsets = np.ascontiguousarray(all_offsets[idx], dtype=np.int64)
+    # upper bound on row length: gap to the next offset (or EOF)
+    total = os.path.getsize(tsv_path)
+    nxt = np.where(idx + 1 < len(all_offsets),
+                   all_offsets[np.minimum(idx + 1, len(all_offsets) - 1)],
+                   total).astype(np.int64)
+    lens = nxt - offsets
+    max_len = int(lens.max())
+    arena_offsets = np.zeros(len(idx), dtype=np.int64)
+    np.cumsum(lens[:-1], out=arena_offsets[1:])
+    arena = np.empty(int(lens.sum()), dtype=np.uint8)
+    row_lens = np.zeros(len(idx), dtype=np.int64)
+    rc = lib.lh_read_rows(
+        tsv_path.encode(),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(idx),
+        arena.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        arena_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        row_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        max_len,
+    )
+    if rc != 0:
+        return None
+    return [bytes(arena[arena_offsets[r]:arena_offsets[r] + row_lens[r]])
+            for r in range(len(idx))]
 
 
 def native_b64_decode(data: str | bytes) -> Optional[np.ndarray]:

@@ -66,19 +66,19 @@ class DevicePreprocessor:
         return self._apply(key, images_u8, aug_enabled)
 
 
-def _collate(samples, pad_to: int = 0) -> Dict[str, np.ndarray]:
-    n_real = len(samples)
-    if pad_to and n_real < pad_to:
-        # pad the ragged tail by repeating the last sample; batch["valid"]
-        # masks the padding out downstream (jit shapes stay static)
-        samples = list(samples) + [samples[-1]] * (pad_to - n_real)
+def _collate(samples, valid: Optional[np.ndarray] = None) -> Dict[str, np.ndarray]:
+    """Stack samples into host arrays. ``valid`` (0/1 per sample) marks
+    padding rows the caller appended to keep jit shapes static — they are
+    masked out downstream (train/step.py:make_eval_step)."""
     images = np.stack([s.image for s in samples])
     joints = np.stack([s.joints for s in samples]).astype(np.float32)
     aug = np.asarray([s.aug_enabled for s in samples], dtype=np.float32)
-    valid = np.zeros(len(samples), np.float32)
-    valid[:n_real] = 1.0
+    noise = np.asarray([s.noise_enabled for s in samples], dtype=np.float32)
+    hm_max = np.asarray([s.hm_max for s in samples], dtype=np.float32)
+    if valid is None:
+        valid = np.ones(len(samples), np.float32)
     batch = {"image_u8": images, "joints": joints, "aug_enabled": aug,
-             "valid": valid}
+             "noise_enabled": noise, "hm_max": hm_max, "valid": valid}
     if samples[0].meta and "pose_ctgy" in samples[0].meta:
         # host-side metadata (stays off-device; used by eval/harness.py)
         batch["pose_ctgy"] = [s.meta["pose_ctgy"] for s in samples]
@@ -134,9 +134,22 @@ class Loader:
         return idx
 
     def _host_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        import jax
+
         order = self._order()
         n_full = len(order) // self.batch_size
         limit = n_full * self.batch_size if self.drop_last else len(order)
+        # Multi-process runs: every process walks the SAME global order and
+        # loads only the rows its addressable devices own; the device batch
+        # is assembled as a global array in __iter__ (the TPU-native
+        # equivalent of the reference's dormant DistributedSampler,
+        # src/datasets/build.py:53-60).
+        pcount = jax.process_count() if self.mesh is not None else 1
+        pindex = jax.process_index() if self.mesh is not None else 0
+        if pcount > 1 and self.batch_size % pcount:
+            raise ValueError(
+                f"batch_size {self.batch_size} must divide evenly over "
+                f"{pcount} processes")
         with ThreadPoolExecutor(self.num_workers) as pool:
             # Pipeline batch fetches: up to `prefetch+1` batch futures run
             # concurrently; each decodes its items serially (a nested
@@ -144,9 +157,18 @@ class Loader:
             def fetch(batch_idx):
                 lo = batch_idx * self.batch_size
                 hi = min(lo + self.batch_size, limit)
-                return _collate([self.source[i] for i in order[lo:hi]],
-                                pad_to=0 if self.drop_last
-                                else self.batch_size)
+                rows = order[lo:hi]
+                valid = np.ones(len(rows), np.float32)
+                if len(rows) < self.batch_size:  # ragged tail, drop_last=False
+                    pad = self.batch_size - len(rows)
+                    rows = np.concatenate([rows, np.repeat(rows[-1:], pad)])
+                    valid = np.concatenate([valid,
+                                            np.zeros(pad, np.float32)])
+                if pcount > 1:
+                    per = self.batch_size // pcount
+                    sl = slice(pindex * per, (pindex + 1) * per)
+                    rows, valid = rows[sl], valid[sl]
+                return _collate(self.source.getitems(rows), valid=valid)
 
             total = len(self)
             pending = []
@@ -166,6 +188,8 @@ class Loader:
 
     def __iter__(self) -> Iterator[Dict[str, jnp.ndarray]]:
         """Yields device batches; transfers are issued one batch ahead."""
+        multi = self.mesh is not None and jax.process_count() > 1
+
         def put(host_batch):
             out = {}
             for k, v in host_batch.items():
@@ -173,6 +197,10 @@ class Loader:
                     out[k] = v  # host-side metadata (e.g. pose categories)
                 elif self.mesh is None:
                     out[k] = jnp.asarray(v)
+                elif multi:
+                    # assemble the per-process shard into one global array
+                    out[k] = jax.make_array_from_process_local_data(
+                        batch_sharding(self.mesh, v.ndim), v)
                 else:
                     out[k] = jax.device_put(
                         v, batch_sharding(self.mesh, v.ndim))

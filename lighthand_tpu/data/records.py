@@ -25,17 +25,32 @@ class Sample:
     image: np.ndarray                   # uint8 [S, S, 3]
     joints: np.ndarray                  # float32 [21, 2] or [21, 3]
     aug_enabled: bool = False           # per-sample color-jitter gate
+    noise_enabled: bool = False         # per-sample frei channel-noise gate
+    hm_max: bool = False                # max-combine heatmap target
     meta: Optional[Dict[str, Any]] = None
 
 
 class Source:
-    """Minimal Dataset interface (torch-free)."""
+    """Minimal Dataset interface (torch-free).
+
+    ``heatmap_style`` routes the on-device target rasterizer: "msra"
+    (generate_target, reference src/tools/dataset.py:165-212) or "max"
+    (GenerateHeatmap max-combine, frei_dataloader.py:17-46 — GAN and the
+    Armo train/val phases).
+    """
+
+    heatmap_style = "msra"
 
     def __len__(self) -> int:
         raise NotImplementedError
 
     def __getitem__(self, idx: int) -> Sample:
         raise NotImplementedError
+
+    def getitems(self, indices) -> list:
+        """Batch fetch; sources backed by seekable storage override this
+        with a bulk read (data/freihand.py uses the native TSV engine)."""
+        return [self[int(i)] for i in indices]
 
 
 class SubsetSource(Source):
@@ -61,6 +76,19 @@ class ConcatSource(Source):
     def __getitem__(self, idx):
         k = int(np.searchsorted(self._offsets, idx, side="right") - 1)
         return self.sources[k][idx - int(self._offsets[k])]
+
+
+def source_heatmap_styles(source: Source) -> set:
+    """Set of target styles a source (tree) emits — used by the trainer to
+    pick a static rasterizer when uniform and per-sample select otherwise."""
+    if isinstance(source, SubsetSource):
+        return source_heatmap_styles(source.base)
+    if isinstance(source, ConcatSource):
+        out: set = set()
+        for s in source.sources:
+            out |= source_heatmap_styles(s)
+        return out
+    return {getattr(source, "heatmap_style", "msra")}
 
 
 def random_split_90_10(source: Source, seed: int = 9001):

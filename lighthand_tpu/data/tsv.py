@@ -86,6 +86,26 @@ class TSVFile:
         return [s.strip() for s in
                 fp.readline().decode("utf-8").split("\t")]
 
+    def read_rows(self, indices) -> List[List[str]]:
+        """Bulk random-access read of many rows in one call.
+
+        Uses the native engine's ``lh_read_rows`` (one C call per batch
+        instead of a Python seek+readline pair per row) when built,
+        falling back to per-row ``seek``.
+        """
+        indices = [int(i) for i in indices]
+        try:
+            from lighthand_tpu.data.native import native_read_rows
+
+            offsets = self._ensure_offsets()
+            rows = native_read_rows(self.tsv_path, offsets, indices)
+            if rows is not None:
+                return [[s.strip() for s in r.decode("utf-8").split("\t")]
+                        for r in rows]
+        except ImportError:
+            pass
+        return [self.seek(i) for i in indices]
+
     def get_key(self, idx: int) -> str:
         return self.seek(idx)[0]
 
@@ -151,13 +171,23 @@ def tsv_reader(tsv_path: str):
             yield [x.strip() for x in line.split("\t")]
 
 
-def img_from_base64(s: str) -> Optional[np.ndarray]:
-    """base64 JPEG -> BGR uint8 (reference image_ops.py:16-23)."""
+def img_from_base64(s: str | bytes) -> Optional[np.ndarray]:
+    """base64 JPEG -> BGR uint8 (reference image_ops.py:16-23).
+
+    Decodes through the native engine's table-driven base64 when built
+    (native/tsv_engine.cpp:lh_b64_decode), else Python ``base64``."""
     try:
-        raw = base64.b64decode(s)
-    except ValueError:
-        return None
-    arr = np.frombuffer(raw, np.uint8)
+        from lighthand_tpu.data.native import native_b64_decode
+
+        arr = native_b64_decode(s)
+    except ImportError:
+        arr = None
+    if arr is None:
+        try:
+            raw = base64.b64decode(s)
+        except ValueError:
+            return None
+        arr = np.frombuffer(raw, np.uint8)
     return cv2.imdecode(arr, cv2.IMREAD_COLOR)
 
 
@@ -166,6 +196,52 @@ def img_to_base64(img_bgr: np.ndarray, quality: int = 95) -> str:
                            [int(cv2.IMWRITE_JPEG_QUALITY), quality])
     assert ok
     return base64.b64encode(buf.tobytes()).decode("ascii")
+
+
+def _config_save_file(tsv_path: str, save_file: Optional[str],
+                      append_str: str) -> str:
+    """Default output naming (reference tsv_file_ops.py:61-64)."""
+    return save_file if save_file is not None \
+        else op.splitext(tsv_path)[0] + append_str
+
+
+def generate_hw_file(img_file: str, save_file: Optional[str] = None) -> str:
+    """Write a `.hw.tsv` sidecar: per row ``key \\t [{"height":H,"width":W}]``
+    by decoding each image column (reference tsv_file_ops.py:73-85)."""
+    import json
+
+    def gen_rows():
+        for row in tsv_reader(img_file):
+            img = img_from_base64(row[-1])
+            yield [row[0], json.dumps([{"height": int(img.shape[0]),
+                                        "width": int(img.shape[1])}])]
+
+    save_file = _config_save_file(img_file, save_file, ".hw.tsv")
+    tsv_writer(gen_rows(), save_file)
+    return save_file
+
+
+def generate_linelist_file(label_file: str, save_file: Optional[str] = None,
+                           ignore_attrs: Sequence[str] = ()) -> str:
+    """Write a `.linelist.tsv` of row numbers whose label column is
+    non-empty, skipping rows where every label carries only ignore-attrs
+    (reference tsv_file_ops.py:87-101)."""
+    import json
+
+    line_list = []
+    for i, row in enumerate(tsv_reader(label_file)):
+        labels = json.loads(row[1])
+        if not labels:
+            continue
+        if ignore_attrs and all(
+            any(lab[attr] for attr in ignore_attrs if attr in lab)
+            for lab in labels
+        ):
+            continue
+        line_list.append([i])
+    save_file = _config_save_file(label_file, save_file, ".linelist.tsv")
+    tsv_writer(line_list, save_file)
+    return save_file
 
 
 def load_from_yaml_file(path: str) -> dict:

@@ -37,10 +37,45 @@ from lighthand_tpu.ops.metrics import (
 
 
 def dump(path: str, payload) -> None:
-    """JSON dump wrapped in a list (reference dir.py:13-22)."""
+    """JSON dump wrapped in a list (reference dir.py:13-22).
+
+    Host-leader gated: in a multi-process run every host computes the same
+    payload but only process 0 touches the (shared) filesystem."""
+    from lighthand_tpu.core.mesh import is_host_leader
+
+    if not is_host_leader():
+        return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w") as f:
         json.dump([payload], f)
+
+
+def _local_rows(x) -> np.ndarray:
+    """Process-local rows of a (possibly multi-process global) batch array,
+    in row order. Replicated shards are deduplicated by row offset."""
+    if hasattr(x, "addressable_shards"):
+        shards = {}
+        for s in x.addressable_shards:
+            start = s.index[0].start if s.index else 0
+            shards[start or 0] = np.asarray(s.data)
+        return np.concatenate([shards[k] for k in sorted(shards)], axis=0)
+    return np.asarray(x)
+
+
+def _gather_rows(tree: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Concatenate per-process row blocks from every host (the TPU-native
+    replacement for the reference's pickle-over-NCCL comm.all_gather,
+    src/utils/comm.py:104-144). Identity in a single-process run."""
+    import jax
+
+    if jax.process_count() == 1:
+        return tree
+    from lighthand_tpu.parallel import all_gather_metrics
+
+    gathered = all_gather_metrics(tree)
+    # process_allgather stacks a leading process axis; flatten it back
+    return {k: np.concatenate(list(np.asarray(v)), axis=0)
+            for k, v in gathered.items()}
 
 
 def pred_store(loader, predict_fn, out_path: str,
@@ -53,11 +88,13 @@ def pred_store(loader, predict_fn, out_path: str,
     space). ``loader`` yields device batches with joints [B,21,3] and meta
     categories list. ``overlay_dir`` saves GT/pred overlays per sample
     (the reference's --plt path, argparser.py:304-309).
+
+    Multi-process: each host accumulates its local rows; the blocks are
+    all-gathered at the end so every host returns the full store.
     """
     import jax
 
-    meta = {c: {"bb": [], "pred": [], "gt": []} for c in POSE_CATEGORIES}
-
+    preds, gts, valids, cat_idx = [], [], [], []
     sample_idx = 0
     for batch in loader:
         images_u8 = batch["image_u8"]
@@ -68,30 +105,47 @@ def pred_store(loader, predict_fn, out_path: str,
                 np.zeros(images_u8.shape[0], np.float32))
         else:
             images = images_u8
-        pred = np.asarray(predict_fn(images))
-        gt = np.asarray(batch["joints"])  # [B,21,3] with visibility
-        cats = batch.get("pose_ctgy",
-                         ["Standard"] * images_u8.shape[0])
-        valid = np.asarray(batch.get("valid", np.ones(gt.shape[0])))
+        pred = _local_rows(predict_fn(images))
+        gt = _local_rows(batch["joints"])  # [B,21,3] with visibility
+        valid = _local_rows(batch.get("valid", np.ones(gt.shape[0])))
+        cats = batch.get("pose_ctgy", ["Standard"] * gt.shape[0])
+        preds.append(pred)
+        gts.append(gt)
+        valids.append(valid)
+        cat_idx.append(np.asarray([POSE_CATEGORIES.index(c) for c in cats],
+                                  np.int32))
 
-        for i in range(gt.shape[0]):
-            if not valid[i]:
-                continue  # padding row of the final partial batch
-            w = gt[i, :, 0].max() - gt[i, :, 0].min()
-            h = gt[i, :, 1].max() - gt[i, :, 1].min()
-            bb = float(np.sqrt(w**2 + h**2))
-            cat = cats[i]
-            meta[cat]["bb"].append(bb)
-            meta[cat]["pred"].append(pred[i].tolist())
-            meta[cat]["gt"].append(gt[i].tolist())
-            if overlay_dir is not None:
-                from lighthand_tpu.utils.visualize import save_overlay
+        if overlay_dir is not None:
+            from lighthand_tpu.core.mesh import is_host_leader
+            from lighthand_tpu.utils.visualize import save_overlay
 
-                save_overlay(
-                    np.asarray(images[i], dtype=np.float32), gt[i], pred[i],
-                    overlay_dir, "eval", 0, sample_idx,
-                )
-            sample_idx += 1
+            if is_host_leader():
+                imgs = _local_rows(images)
+                for i in range(gt.shape[0]):
+                    if valid[i]:
+                        save_overlay(
+                            imgs[i].astype(np.float32), gt[i], pred[i],
+                            overlay_dir, "eval", 0, sample_idx)
+                        sample_idx += 1
+
+    rows = _gather_rows({
+        "pred": np.concatenate(preds),
+        "gt": np.concatenate(gts),
+        "valid": np.concatenate(valids),
+        "cat": np.concatenate(cat_idx),
+    })
+
+    meta = {c: {"bb": [], "pred": [], "gt": []} for c in POSE_CATEGORIES}
+    for i in range(rows["gt"].shape[0]):
+        if not rows["valid"][i]:
+            continue  # padding row of the final partial batch
+        gt_i = rows["gt"][i]
+        w = gt_i[:, 0].max() - gt_i[:, 0].min()
+        h = gt_i[:, 1].max() - gt_i[:, 1].min()
+        cat = POSE_CATEGORIES[int(rows["cat"][i])]
+        meta[cat]["bb"].append(float(np.sqrt(w**2 + h**2)))
+        meta[cat]["pred"].append(rows["pred"][i].tolist())
+        meta[cat]["gt"].append(gt_i.tolist())
 
     dump(out_path, meta)
     return meta
@@ -165,7 +219,7 @@ def pred_store_test(loader, predict_fn, out_path: str,
     """Flat variant without categories (argparser.py:284-323)."""
     import jax
 
-    meta = {"pred": [], "gt": [], "bb": []}
+    preds, gts, valids = [], [], []
     for batch in loader:
         images_u8 = batch["image_u8"]
         if preprocess is not None:
@@ -174,19 +228,20 @@ def pred_store_test(loader, predict_fn, out_path: str,
                 key, images_u8, np.zeros(images_u8.shape[0], np.float32))
         else:
             images = images_u8
-        pred = np.asarray(predict_fn(images))
-        gt = np.asarray(batch["joints"])[..., :2]
-        valid = np.asarray(batch.get("valid", np.ones(gt.shape[0])))
-        keep = valid > 0
-        pred, gt = pred[keep], gt[keep]
-        bb = []
-        for i in range(gt.shape[0]):
-            w = gt[i, :, 0].max() - gt[i, :, 0].min()
-            h = gt[i, :, 1].max() - gt[i, :, 1].min()
-            bb.append(float(np.sqrt(w**2 + h**2)))
-        meta["pred"].append(pred[..., :2].tolist())
-        meta["gt"].append(gt.tolist())
-        meta["bb"].append(bb)
+        preds.append(_local_rows(predict_fn(images))[..., :2])
+        gt = _local_rows(batch["joints"])[..., :2]
+        gts.append(gt)
+        valids.append(_local_rows(batch.get("valid",
+                                            np.ones(gt.shape[0]))))
+    rows = _gather_rows({"pred": np.concatenate(preds),
+                         "gt": np.concatenate(gts),
+                         "valid": np.concatenate(valids)})
+    keep = rows["valid"] > 0
+    pred, gt = rows["pred"][keep], rows["gt"][keep]
+    bb = [float(np.sqrt((gt[i, :, 0].max() - gt[i, :, 0].min()) ** 2
+                        + (gt[i, :, 1].max() - gt[i, :, 1].min()) ** 2))
+          for i in range(gt.shape[0])]
+    meta = {"pred": [pred.tolist()], "gt": [gt.tolist()], "bb": [bb]}
     dump(out_path, meta)
     return meta
 

@@ -162,18 +162,15 @@ def resize_bilinear(image: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
 
 
 # --------------------------------------------------------------------------
-# Flip helpers (reference image_ops.py:173-200). Flip augmentation is
-# disabled in the reference training path (frei_dataloader.py:107 pins
-# flip=0) — kept for API completeness, with a CORRECT hand ordering added.
+# Flip augmentation (consumed by train/step.py's ``--flip`` extension).
+# The reference's flip helpers (image_ops.py:173-200) are permanently
+# disabled (frei_dataloader.py:107 pins flip=0) and use an SMPL *body*
+# joint permutation that is wrong for hands — we implement the correct
+# hand mirror instead: joint ORDER is preserved (mirroring swaps
+# handedness, not finger order), only x reflects.
 # --------------------------------------------------------------------------
 
-# The reference's flipped_parts list is an SMPL *body* ordering applied to
-# hands (image_ops.py:182) — preserved verbatim for compatibility:
-SMPL_BODY_FLIP_PERM = [5, 4, 3, 2, 1, 0, 11, 10, 9, 8, 7, 6, 12, 13, 14, 15,
-                       16, 17, 18, 19, 21, 20, 23, 22]
-
-# A hand mirror is identity on joint order (left<->right handedness changes,
-# not finger order) — x negation only:
+# A hand mirror is identity on joint order — x reflection only:
 HAND_FLIP_PERM = list(range(21))
 
 
@@ -181,7 +178,19 @@ def flip_img(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.flip(img, axis=1)
 
 
-def flip_kp(kp: jnp.ndarray, perm=None) -> jnp.ndarray:
-    perm = jnp.asarray(perm if perm is not None else SMPL_BODY_FLIP_PERM)
-    kp = kp[perm]
-    return kp.at[:, 0].multiply(-1)
+def hflip_px(images: jnp.ndarray, joints: jnp.ndarray,
+             flip_mask: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sample horizontal flip of an NHWC batch + pixel-space joints.
+
+    ``flip_mask`` is a boolean [B]; joints [B, J, 2+] keep any extra
+    columns (visibility) untouched. x -> (W-1) - x under the hand
+    permutation (HAND_FLIP_PERM, identity)."""
+    f = flip_mask.astype(bool)
+    images = jnp.where(f[:, None, None, None], jnp.flip(images, axis=2),
+                       images)
+    width = images.shape[2]
+    perm = jnp.asarray(HAND_FLIP_PERM)
+    fx = (width - 1.0) - joints[:, perm, 0]
+    x = jnp.where(f[:, None], fx, joints[..., 0])
+    joints = jnp.concatenate([x[..., None], joints[..., 1:]], axis=-1)
+    return images, joints

@@ -127,12 +127,18 @@ def color_jitter(
 
 
 def channel_pixel_noise(key: jax.Array, img: jnp.ndarray,
-                        noise_factor: float = 0.4) -> jnp.ndarray:
+                        noise_factor: float = 0.4,
+                        enable: jnp.ndarray | bool = True) -> jnp.ndarray:
     """FreiHAND per-channel multiplicative noise in
     [1-nf, 1+nf], clipped to [0,1] (frei_dataloader.py:118,142-144;
-    the reference clips in 0..255 space before the /255)."""
+    the reference clips in 0..255 space before the /255).
+
+    ``enable`` gates the noise per sample branchlessly (frei train samples
+    set it; every other dataset leaves it 0)."""
     pn = jax.random.uniform(key, (3,), minval=1 - noise_factor,
                             maxval=1 + noise_factor)
+    enable_f = jnp.asarray(enable, jnp.float32)
+    pn = pn * enable_f + (1.0 - enable_f)
     return jnp.clip(img * pn, 0.0, 1.0)
 
 

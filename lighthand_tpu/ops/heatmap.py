@@ -143,3 +143,17 @@ def generate_heatmap_max(
 
     hms = g * support.astype(jnp.float32) * valid[:, None, None]
     return hms[:num_parts].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("output_res", "num_parts"))
+def generate_heatmap_max_batch(
+    joints_hm: jnp.ndarray,
+    output_res: int = HEATMAP_SIZE,
+    num_parts: int = 21,
+) -> jnp.ndarray:
+    """[B, J, 2+] joints in HEATMAP space (callers pass joints/stride, as the
+    reference does: ``GenerateHeatmap(64, 21)(joint/4)``,
+    dataset_loader.py:509) -> [B, J, H, H]."""
+    fn = functools.partial(generate_heatmap_max, output_res=output_res,
+                           num_parts=num_parts)
+    return jax.vmap(fn)(joints_hm)

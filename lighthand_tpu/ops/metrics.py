@@ -75,6 +75,33 @@ def pck_2d(
     return jnp.mean(correct.astype(jnp.float32))
 
 
+def pck_2d_counts(
+    pred_2d: jnp.ndarray,
+    gt_2d: jnp.ndarray,
+    t: float = 0.1,
+    threshold: str = "proportion",
+    sample_weight: jnp.ndarray | None = None,
+):
+    """(n_correct, n_total) form of ``pck_2d`` for weighted accumulation
+    across batches — with ``sample_weight`` masking padded rows of a
+    drop_last=False loader (each weight is 0 or 1 per sample)."""
+    pred = pred_2d[..., :2].astype(jnp.float32)
+    gt = gt_2d[..., :2].astype(jnp.float32)
+    dist = jnp.sqrt(jnp.sum((gt - pred) ** 2, axis=-1))  # [B, J]
+    if threshold == "proportion":
+        correct = (dist / bbox_diagonal(gt)[:, None]) <= t
+    elif threshold == "mm":
+        correct = dist <= (t * MM_SCALE_PCK)
+    else:
+        raise ValueError(f"threshold must be proportion|mm, got {threshold}")
+    correct = correct.astype(jnp.float32)
+    n_joints = jnp.asarray(correct.shape[1], jnp.float32)
+    if sample_weight is None:
+        return jnp.sum(correct), jnp.asarray(correct.size, jnp.float32)
+    w = sample_weight.astype(jnp.float32)
+    return jnp.sum(correct * w[:, None]), jnp.sum(w) * n_joints
+
+
 def pck_2d_visible(
     pred_2d: jnp.ndarray,
     gt_2d_v: jnp.ndarray,
@@ -137,24 +164,73 @@ def _epe_joint_slice(num_joints: int) -> slice:
     return slice(1, num_joints - 1)
 
 
-def epe_train(pred_2d: jnp.ndarray, gt_2d: jnp.ndarray):
+def epe_train(pred_2d: jnp.ndarray, gt_2d: jnp.ndarray,
+              sample_weight: jnp.ndarray | None = None):
     """EPE counting every joint in the slice regardless of visibility
     (loss.py:50-67). Returns (sum_px_error, count) for weighted averaging
-    via AverageMeter.update_p (metric_logger.py:19-23)."""
+    via AverageMeter.update_p (metric_logger.py:19-23). ``sample_weight``
+    (0/1 per sample) masks padded rows."""
     j = pred_2d.shape[1]
     sl = _epe_joint_slice(j)
     pred = pred_2d[:, sl, :2].astype(jnp.float32)
     gt = gt_2d[:, sl, :2].astype(jnp.float32)
     dist = jnp.sqrt(jnp.sum((gt - pred) ** 2, axis=-1))
-    return jnp.sum(dist), jnp.asarray(dist.size, jnp.float32)
+    if sample_weight is None:
+        return jnp.sum(dist), jnp.asarray(dist.size, jnp.float32)
+    w = sample_weight.astype(jnp.float32)
+    n_joints = jnp.asarray(dist.shape[1], jnp.float32)
+    return jnp.sum(dist * w[:, None]), jnp.sum(w) * n_joints
 
 
-def epe_visible(pred_2d: jnp.ndarray, gt_2d_v: jnp.ndarray):
+def epe_visible(pred_2d: jnp.ndarray, gt_2d_v: jnp.ndarray,
+                sample_weight: jnp.ndarray | None = None):
     """EPE over visible joints only (loss.py:28-47). gt_2d_v: [B, J, 3]."""
     j = pred_2d.shape[1]
     sl = _epe_joint_slice(j)
     pred = pred_2d[:, sl, :2].astype(jnp.float32)
     gt = gt_2d_v[:, sl, :2].astype(jnp.float32)
     vis = (gt_2d_v[:, sl, 2] == 1).astype(jnp.float32)
+    if sample_weight is not None:
+        vis = vis * sample_weight.astype(jnp.float32)[:, None]
     dist = jnp.sqrt(jnp.sum((gt - pred) ** 2, axis=-1)) * vis
     return jnp.sum(dist), jnp.sum(vis)
+
+
+# -- 3D metric surface (dormant in the reference's 2D path, kept for
+# capability parity) ---------------------------------------------------------
+
+PX_TO_MM_PCK3D = 3.779527559  # loss.py:210 (one digit fewer than eval's)
+
+
+def pck_3d(pred_3d: jnp.ndarray, gt_3d: jnp.ndarray, t: float = 0.1):
+    """PCK over 3D joints: distance scaled px->mm then compared <= T
+    (reference PCK_3d_loss, src/utils/loss.py:205-213). Returns (pck, T)."""
+    pred = pred_3d.astype(jnp.float32)
+    gt = gt_3d.astype(jnp.float32)
+    dist = jnp.sqrt(jnp.sum((pred - gt) ** 2, axis=2))
+    pck = jnp.mean((dist * PX_TO_MM_PCK3D <= t).astype(jnp.float32))
+    return pck, t
+
+
+def keypoint_2d_loss(pred_2d: jnp.ndarray, gt_2d: jnp.ndarray) -> jnp.ndarray:
+    """Visibility-masked elementwise-MSE keypoint loss (reference
+    keypoint_2d_loss, src/utils/loss.py:69-80): with a visibility column the
+    per-element losses are masked and averaged over the STRICTLY-POSITIVE
+    entries only (the reference's ``loss[loss>0].mean()``)."""
+    pred = pred_2d.astype(jnp.float32)
+    gt = gt_2d.astype(jnp.float32)
+    if gt.shape[2] > 2:
+        err = (pred - gt[:, :, :2]) ** 2 * gt[:, :, 2][:, :, None]
+        pos = (err > 0).astype(jnp.float32)
+        return jnp.sum(err * pos) / jnp.maximum(jnp.sum(pos), 1.0)
+    return jnp.mean((pred - gt) ** 2)
+
+
+def keypoint_3d_loss(pred_3d: jnp.ndarray, gt_3d: jnp.ndarray) -> jnp.ndarray:
+    """Plain MSE over 3D keypoints (reference keypoint_3d_loss,
+    src/utils/loss.py:225-236; its has-pose filtering is commented out there
+    and the empty-gt branch is an assert False)."""
+    if gt_3d.shape[0] == 0:
+        raise ValueError("gt_3d_keypoint No")  # reference loss.py:236
+    return jnp.mean((pred_3d.astype(jnp.float32)
+                     - gt_3d.astype(jnp.float32)) ** 2)

@@ -88,6 +88,12 @@ def save_checkpoint(
     }
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, payload, force=True)
+    # marker consumed by utils.misc.config_iteration (the reference's
+    # 'last_checkpoint' file, miscellaneous.py:33-41)
+    import json
+
+    with open(os.path.join(output_dir, "last_checkpoint.json"), "w") as f:
+        json.dump({"epoch": int(epoch), "path": path}, f)
     return path
 
 

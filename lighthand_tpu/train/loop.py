@@ -42,6 +42,7 @@ from lighthand_tpu.train.step import (
     make_eval_step,
     make_fused_train_step,
 )
+from lighthand_tpu.train.profiler import StepTimer
 from lighthand_tpu.utils.logging import ScalarWriter, colored, setup_logger
 from lighthand_tpu.utils.meters import AverageMeter
 from lighthand_tpu.utils.progress import Bar
@@ -62,6 +63,11 @@ def _policy(cfg: Config) -> DTypePolicy:
     if cfg.model.precision == "all_bf16":
         return DTypePolicy.all_bf16()  # bf16 BatchNorm too (+6% on v5e)
     return DTypePolicy()
+
+
+def _pick_style(styles: set) -> str:
+    """Uniform source tree -> static rasterizer; mixed -> per-sample select."""
+    return next(iter(styles)) if len(styles) == 1 else "per_sample"
 
 
 def _maybe_reset(cfg: Config, logger) -> None:
@@ -119,11 +125,33 @@ class Trainer:
         hm = cfg.data.heatmap_size
         stride = size / hm
         self.scan_steps = max(1, cfg.train.steps_per_dispatch)
+
+        # Build sources now: the heatmap target style (MSRA vs max-combine,
+        # SURVEY.md components 18/19) is a static property of the source
+        # tree and routes which rasterizer the jitted steps compile in.
+        from lighthand_tpu.data.records import source_heatmap_styles
+
+        self.train_src, self.val_src = build_dataset(cfg)
+        train_style = _pick_style(source_heatmap_styles(self.train_src))
+        val_style = _pick_style(source_heatmap_styles(self.val_src))
+        self._dispatch_fields = ["image_u8", "joints", "aug_enabled",
+                                 "noise_enabled"]
+        if train_style == "per_sample":
+            self._dispatch_fields.append("hm_max")
+
+        step_kw = dict(heatmap_size=hm, stride=stride, jitter=True,
+                       target_style=train_style, flip=cfg.train.flip)
         self.train_step = make_fused_train_step(
-            heatmap_size=hm, stride=stride, jitter=True,
-            scan_steps=self.scan_steps,
-        )
-        self.eval_step = make_eval_step(heatmap_size=hm, stride=stride)
+            scan_steps=self.scan_steps, **step_kw)
+        # k=1 step for the ragged tail of a scan dispatch (compiled lazily,
+        # only if an epoch actually ends with leftover microbatches)
+        self.train_step_k1 = (self.train_step if self.scan_steps == 1
+                              else make_fused_train_step(scan_steps=1,
+                                                         **step_kw))
+        self.eval_step = make_eval_step(heatmap_size=hm, stride=stride,
+                                        target_style=val_style)
+        self._predict_step = None  # lazy; train-overlay path only
+        self.stride = stride
         self.preprocess = DevicePreprocessor(jitter=False)  # eval path
         self.writer = ScalarWriter(cfg.tensorboard_dir,
                                    jsonl_dir=cfg.output_dir)
@@ -153,15 +181,18 @@ class Trainer:
 
     def make_loaders(self):
         cfg = self.cfg
-        train_src, val_src = build_dataset(cfg)
         train_loader = Loader(
-            train_src, cfg.data.batch_size, mesh=self.mesh, shuffle=True,
-            seed=cfg.data.shuffle_seed, num_workers=cfg.data.num_workers,
-            prefetch=cfg.data.prefetch,
-        )
-        val_loader = Loader(
-            val_src, cfg.data.batch_size, mesh=self.mesh, shuffle=False,
+            self.train_src, cfg.data.batch_size, mesh=self.mesh,
+            shuffle=True, seed=cfg.data.shuffle_seed,
             num_workers=cfg.data.num_workers, prefetch=cfg.data.prefetch,
+        )
+        # drop_last=False + the batch["valid"] mask: the early-stop signal
+        # sees every validation sample (the reference's DataLoader kept the
+        # ragged tail; dropping it would bias per-epoch val loss)
+        val_loader = Loader(
+            self.val_src, cfg.data.batch_size, mesh=self.mesh,
+            shuffle=False, num_workers=cfg.data.num_workers,
+            prefetch=cfg.data.prefetch, drop_last=False,
         )
         return train_loader, val_loader
 
@@ -171,48 +202,106 @@ class Trainer:
         cfg = self.cfg
         loader.set_epoch(epoch)
         losses = AverageMeter()
+        timer = StepTimer()
         bar = Bar(colored(f"{epoch}_TRAIN", "blue"), max=len(loader))
-        self.rng, epoch_rng = jax.random.split(self.rng)
+
+        import contextlib
 
         import jax.numpy as jnp
 
         k = self.scan_steps
+        bsz = cfg.data.batch_size
         n_images = 0
+        n_dispatch = 0
         t0 = time.time()
-        pending_loss = None
+        pending = []  # (loss, n_images) read one dispatch late
         microbatches = []
+        vis_iters = ({0, len(loader) // 2, len(loader) - 1}
+                     if cfg.train.visualize else set())
+        trace_ctx = contextlib.ExitStack()
+
+        def drain(limit: int) -> None:
+            while len(pending) > limit:
+                loss, n = pending.pop(0)
+                losses.update(float(loss), n)
+
         for it, batch in enumerate(loader):
+            if it in vis_iters:
+                # prediction overlays at {0, mid, last} like the reference
+                # train runner (method.py:185-202)
+                self._train_overlay(batch, epoch, it)
             microbatches.append(batch)
             if len(microbatches) < k:
                 bar.next()
                 continue
             if k == 1:
                 dispatch = {name: microbatches[0][name]
-                            for name in ("image_u8", "joints", "aug_enabled")}
+                            for name in self._dispatch_fields}
             else:
                 dispatch = {
                     name: jnp.stack([b[name] for b in microbatches])
-                    for name in ("image_u8", "joints", "aug_enabled")
+                    for name in self._dispatch_fields
                 }
             microbatches = []
             self.rng, key = jax.random.split(self.rng)
             self.state, metrics = self.train_step(self.state, key, dispatch)
-            n_images += k * cfg.data.batch_size
-            # read the PREVIOUS dispatch's loss: keeps the pipeline full
-            if pending_loss is not None:
-                losses.update(float(pending_loss), k * cfg.data.batch_size)
-            pending_loss = metrics["loss"]
+            n_images += k * bsz
+            n_dispatch += 1
+            if cfg.train.trace and epoch == self.start_epoch:
+                # trace dispatches 2-5 (skip the compile dispatch)
+                if n_dispatch == 2:
+                    from lighthand_tpu.train.profiler import trace
+
+                    trace_ctx.enter_context(
+                        trace(os.path.join(cfg.output_dir, "trace")))
+                elif n_dispatch == 6:
+                    trace_ctx.close()
+            # read losses one dispatch late: keeps the pipeline full
+            pending.append((metrics["loss"], k * bsz))
+            drain(1)
+            timer.tick()
             if it % cfg.train.logging_steps == 0:
-                bar.suffix = (f"loss: {losses.avg:.6f} | count: {self.count}")
+                bar.suffix = (f"loss: {losses.avg:.6f} | count: {self.count}"
+                              f" | {timer.images_per_sec(k * bsz):.0f} img/s")
             bar.next()
-        if pending_loss is not None:
-            losses.update(float(pending_loss), k * cfg.data.batch_size)
+        # flush the ragged tail of microbatches (< k of them) through the
+        # k=1 step — with steps_per_dispatch>1 the old code silently dropped
+        # up to k-1 trailing loader batches per epoch
+        for tail in microbatches:
+            dispatch = {name: tail[name] for name in self._dispatch_fields}
+            self.rng, key = jax.random.split(self.rng)
+            self.state, metrics = self.train_step_k1(self.state, key,
+                                                     dispatch)
+            n_images += bsz
+            pending.append((metrics["loss"], bsz))
+            drain(1)
+        drain(0)
+        trace_ctx.close()
         bar.finish()
         elapsed = time.time() - t0
         ips = n_images / elapsed if elapsed > 0 else 0.0
+        self._last_epoch_images = n_images
         self.writer.add_scalar("Loss/train", losses.avg, epoch)
         self.writer.add_scalar("perf/images_per_sec", ips, epoch)
         return losses.avg, ips
+
+    def _train_overlay(self, batch, epoch: int, it: int) -> None:
+        """Overlay current predictions on a train sample (reference
+        method.py:185-202, {output}/train_image/{epoch}_epoch/iter_N.jpg)."""
+        try:
+            if self._predict_step is None:
+                from lighthand_tpu.train.step import make_predict_step
+
+                self._predict_step = make_predict_step(stride=self.stride)
+            self.rng, key = jax.random.split(self.rng)
+            images = self.preprocess(
+                key, batch["image_u8"],
+                np.zeros(batch["image_u8"].shape[0], np.float32))
+            pred, _ = self._predict_step(self.state, images)
+            self._save_overlay(images, batch["joints"], pred,
+                               "train", epoch, it)
+        except Exception as e:  # overlay failure must never kill training
+            self.logger.debug(f"train overlay failed: {e}")
 
     def run_valid_epoch(self, loader: Loader, epoch: int):
         losses, pcks, epes = AverageMeter(), AverageMeter(), AverageMeter()
@@ -225,10 +314,13 @@ class Trainer:
                 np.zeros(batch["image_u8"].shape[0], np.float32),
             )
             m = self.eval_step(self.state,
-                               {"image": images, "joints": batch["joints"]})
-            b = batch["image_u8"].shape[0]
-            losses.update(float(m["loss"]), b)
-            pcks.update(float(m["pck"]), b)
+                               {"image": images, "joints": batch["joints"],
+                                "valid": batch["valid"],
+                                "hm_max": batch["hm_max"]})
+            # exact sums/counts: padding rows of the final ragged batch
+            # (drop_last=False) carry valid=0 and contribute nothing
+            losses.update_p(float(m["loss_sum"]), float(m["n_valid"]))
+            pcks.update_p(float(m["pck_sum"]), float(m["pck_count"]))
             epes.update_p(float(m["epe_sum"]), float(m["epe_count"]))
             if self.cfg.train.visualize and it in vis_iters:
                 self._save_overlay(images, batch["joints"],

@@ -28,22 +28,3 @@ class AverageMeter:
         self.sum += val
         self.count += count
         self.avg = self.sum / self.count if self.count else 0.0
-
-
-class EvalMetricsLogger:
-    """Best-so-far PA-MPJPE/mPJPE/mPVE tracker (metric_logger.py:33-52)."""
-
-    def __init__(self):
-        self.reset()
-
-    def reset(self):
-        self.PAmPJPE = 0.1
-        self.mPJPE = 0.1
-        self.mPVE = 0.1
-        self.epoch = 0
-
-    def update(self, mPVE, mPJPE, PAmPJPE, epoch):
-        self.mPVE = mPVE
-        self.mPJPE = mPJPE
-        self.PAmPJPE = PAmPJPE
-        self.epoch = epoch

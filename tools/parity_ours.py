@@ -1,0 +1,85 @@
+"""Head-to-head accuracy-parity driver, JAX side (counterpart of
+tools/parity_torch.py): train this framework's PoseResNet through the real
+Trainer on the same synthetic LightHand tree, same image size / batch /
+epochs / lr, aug off, and report the same val metrics (EPE px via
+epe_train semantics, PCK@0.2 proportion — both computed inside
+train/step.py:make_eval_step).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--n", type=int, default=2000)
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--bs", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--layers", type=int, default=18)
+    p.add_argument("--precision", default="f32")
+    p.add_argument("--out", default="parity_ours.json")
+    p.add_argument("--run-dir", default="output/parity_ours")
+    a = p.parse_args(argv)
+
+    from lighthand_tpu.config import Config
+    from lighthand_tpu.train.loop import Trainer
+
+    cfg = Config(name=f"resnet{a.layers}/ours/parity")
+    cfg.model.name = f"resnet{a.layers}"
+    cfg.model.precision = a.precision
+    cfg.data.dataset = "ours"
+    cfg.data.dataset_root = a.data_root
+    cfg.data.image_size = a.size
+    cfg.data.heatmap_size = a.size // 4
+    cfg.data.batch_size = a.bs
+    cfg.data.num_our = a.n
+    cfg.data.ratio_of_aug = 0.0      # torch side can't jitter (no torchvision)
+    cfg.train.epochs = a.epochs
+    cfg.train.lr = a.lr
+    cfg.train.early_stop_count = 10**9
+    cfg.train.visualize = False
+    cfg.output_dir = a.run_dir
+    cfg.tensorboard_dir = os.path.join(a.run_dir, "tb")
+
+    trainer = Trainer(cfg)
+    train_loader, val_loader = trainer.make_loaders()
+    history = []
+    from lighthand_tpu.train.state import cosine_lr, set_learning_rate
+
+    for epoch in range(a.epochs):
+        trainer.state = set_learning_rate(
+            trainer.state, cosine_lr(a.lr, epoch, a.epochs))
+        train_loss, ips = trainer.run_train_epoch(train_loader, epoch)
+        val_loss, pck_pct, epe_px = trainer.run_valid_epoch(val_loader, epoch)
+        history.append({"epoch": epoch, "train_loss": train_loss,
+                        "val_epe_px": epe_px, "val_pck_02": pck_pct / 100.0,
+                        "img_per_sec": ips})
+        print(f"[ours] epoch {epoch}: loss={train_loss:.6f} "
+              f"EPE={epe_px:.3f}px PCK@0.2={pck_pct:.2f}% ({ips:.1f} img/s)",
+              flush=True)
+
+    result = {
+        "framework": "lighthand_tpu (this repo)",
+        "config": vars(a),
+        "final": history[-1],
+        "best_epe_px": min(h["val_epe_px"] for h in history),
+        "best_pck_02": max(h["val_pck_02"] for h in history),
+        "history": history,
+    }
+    with open(a.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: result[k] for k in
+                      ("final", "best_epe_px", "best_pck_02")}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
