@@ -14,6 +14,8 @@ import json
 import os
 import sys
 
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
+
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()

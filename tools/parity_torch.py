@@ -25,6 +25,8 @@ import importlib.util
 import json
 import math
 import sys
+
+sys.path.insert(0, __import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__))))
 import time
 from types import SimpleNamespace
 

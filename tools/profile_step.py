@@ -1,0 +1,160 @@
+"""Capture and summarize an XLA profiler trace of the benchmark train step.
+
+Runs the bench workload (HRNet-W32@256 bs128 fused step by default) under
+``train/profiler.trace``, then parses the trace protobuf/JSON that
+jax.profiler writes and prints the top-k ops by total device time — the
+evidence base for kernel-level optimization (VERDICT round-1 item 2).
+
+Usage:
+    python tools/profile_step.py [--model hrnet_w32] [--batch 128]
+        [--out /tmp/lh_trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_workload(model_name: str, batch: int, size: int, out_dir: str,
+                 steps: int = 6, precision: str = "bf16") -> None:
+    import jax
+    import numpy as np
+
+    from lighthand_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from lighthand_tpu.core.dtypes import DTypePolicy
+    from lighthand_tpu.core.mesh import (
+        MeshSpec,
+        create_mesh,
+        replicated_sharding,
+    )
+    from lighthand_tpu.models import get_model
+    from lighthand_tpu.train import create_train_state
+    from lighthand_tpu.train.profiler import trace
+    from lighthand_tpu.train.step import make_fused_train_step
+
+    mesh = create_mesh(MeshSpec())
+    policy = (DTypePolicy.all_bf16() if precision == "all_bf16"
+              else DTypePolicy())
+    model = get_model(model_name, policy=policy)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               input_shape=(1, size, size, 3), lr=1e-3)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step = make_fused_train_step(heatmap_size=size // 4, stride=4.0,
+                                 jitter=True, scan_steps=1)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+
+    def shard(x):
+        return jax.device_put(x, NamedSharding(
+            mesh, P("data", *([None] * (x.ndim - 1)))))
+
+    batch_d = {
+        "image_u8": shard(rng.integers(0, 255, size=(batch, size, size, 3),
+                                       dtype=np.uint8)),
+        "joints": shard(rng.uniform(16, size - 16, size=(batch, 21, 2))
+                        .astype(np.float32)),
+        "aug_enabled": shard(np.ones(batch, np.float32)),
+        "noise_enabled": shard(np.zeros(batch, np.float32)),
+    }
+    key = jax.random.PRNGKey(1)
+    for _ in range(3):  # warmup/compile outside the trace
+        key, sub = jax.random.split(key)
+        state, m = step(state, sub, batch_d)
+    jax.block_until_ready(m["loss"])
+
+    with trace(out_dir):
+        for _ in range(steps):
+            key, sub = jax.random.split(key)
+            state, m = step(state, sub, batch_d)
+        jax.block_until_ready(m["loss"])
+
+
+def summarize(out_dir: str, top_k: int = 30) -> list:
+    """Parse trace.json.gz event durations; rank ops by total device time."""
+    paths = glob.glob(os.path.join(out_dir, "plugins", "profile", "*",
+                                   "*.trace.json.gz"))
+    if not paths:
+        print(f"no trace found under {out_dir}", file=sys.stderr)
+        return []
+    path = max(paths, key=os.path.getmtime)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+
+    # device lanes: pids whose process name mentions TPU/device
+    proc_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            proc_names[e["pid"]] = e["args"].get("name", "")
+    device_pids = {pid for pid, n in proc_names.items()
+                   if "TPU" in n or "/device" in n.lower()}
+
+    import re
+
+    totals = defaultdict(float)
+    counts = defaultdict(int)
+    step_time = 0.0
+    n_steps = 0
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if device_pids and e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "?")
+        if name.startswith("jit_"):
+            step_time += e["dur"]
+            n_steps += 1
+            continue
+        if re.fullmatch(r"\d+", name):
+            continue  # per-step aggregate lanes
+        # collapse instances: fusion.123 -> fusion, %convolution.5 -> convolution
+        cat = re.sub(r"[.\-]\d+$", "", name.lstrip("%"))
+        totals[cat] += e["dur"]
+        counts[cat] += 1
+
+    ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:top_k]
+    total = sum(totals.values())
+    print(f"trace: {path}")
+    if n_steps:
+        print(f"step time: {step_time / n_steps / 1e3:.2f} ms/step "
+              f"x{n_steps}; leaf-op time {total / 1e3:.2f} ms total "
+              f"({total / step_time * 100:.1f}% of step lanes)")
+    rows = []
+    for name, dur in ranked:
+        pct = 100.0 * dur / total if total else 0.0
+        rows.append({"op": name, "ms": dur / 1e3, "pct": pct,
+                     "count": counts[name]})
+        print(f"{pct:5.1f}%  {dur / 1e3:9.2f} ms  x{counts[name]:<5d} {name}")
+    return rows
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="hrnet_w32")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--steps", type=int, default=6)
+    p.add_argument("--precision", default="bf16")
+    p.add_argument("--out", default="/tmp/lh_trace")
+    p.add_argument("--parse-only", action="store_true")
+    a = p.parse_args(argv)
+    if not a.parse_only:
+        run_workload(a.model, a.batch, a.size, a.out, a.steps, a.precision)
+    summarize(a.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
