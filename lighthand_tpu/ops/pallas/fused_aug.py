@@ -1,0 +1,213 @@
+"""Pallas TPU kernel: fused uint8 -> (jittered, noised, normalized bf16)
+image + Gaussian heatmap targets, one kernel launch per batch.
+
+This is the BASELINE north-star fusion ("crop/rotate/jitter/heatmap in a
+single kernel") at the scope the production pipeline actually runs on
+device: color jitter (torchvision semantics, random order), FreiHAND
+per-channel pixel noise, ImageNet normalization, and the 21-joint MSRA
+target rasterization (reference src/tools/dataset.py:125-212 data path).
+Crop/rotate stay host-side by design: their geometry is data-dependent
+per record (center/scale annotations) and runs in the cv2 stage
+(data/freihand.py), not on device.
+
+Layout: images enter planar [B, 3, H, W] uint8 so per-channel math maps
+onto (sublane, lane) = (H, W) tiles; the kernel writes NHWC bf16 directly
+(the network's input layout) plus the [B, J, hm, hm] f32 targets — one
+HBM read of the uint8 bytes, one write per output, zero intermediate
+round-trips.
+
+Measured verdict lives in PERF_NOTES (see repo) / the docstring of
+``fused_aug_targets_pallas``; the production step keeps whichever side
+wins. Note the Amdahl bound either way: at bs128 the whole preprocess
+segment moves ~0.6 GB/step against the model's 68 GB/step — <1% of step
+time, so this fusion cannot move the headline img/s regardless of which
+implementation is faster.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lighthand_tpu.ops.color import IMAGENET_MEAN, IMAGENET_STD
+
+_GRAY = (0.299, 0.587, 0.114)
+
+
+def _hsv_shift(r, g, b, delta):
+    """Hue rotation by ``delta`` (fraction of the circle) on [0,1] planes —
+    same math as ops.color.adjust_hue, elementwise on (H, W) tiles."""
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    spread = maxc - minc
+    s = jnp.where(maxc > 0, spread / jnp.maximum(maxc, 1e-12), 0.0)
+    safe = jnp.maximum(spread, 1e-12)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(maxc == r, bc - gc,
+                  jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = (h / 6.0) % 1.0
+    h = jnp.where(spread > 0, h, 0.0)
+    h = (h + delta) % 1.0
+
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    sel = lambda a0, a1, a2, a3, a4, a5: jnp.select(
+        [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+        [a0, a1, a2, a3, a4, a5])
+    return sel(v, q, p, p, t, v), sel(t, v, v, q, p, p), sel(p, p, t, v, v, q)
+
+
+def _kernel(params_ref, mu_ref, img_ref, out_ref, hm_ref, *,
+            height: int, width: int, num_joints: int, heatmap_size: int,
+            sigma: float):
+    """params_ref: SMEM [1, 12] f32
+         (0: jitter_enable, 1-4: brightness/contrast/saturation/hue factor,
+          5-8: order permutation slots (op index per slot),
+          9-11: channel noise factors, pre-gated);
+       mu_ref: SMEM [1, J, 3] int32 (mu_x, mu_y, valid);
+       img_ref: VMEM [1, 3, H, W] uint8; out_ref: VMEM [1, H, W, 3] bf16;
+       hm_ref: VMEM [1, J, hm, hm] f32."""
+    r = img_ref[0, 0].astype(jnp.float32) / 255.0
+    g = img_ref[0, 1].astype(jnp.float32) / 255.0
+    b = img_ref[0, 2].astype(jnp.float32) / 255.0
+
+    enable = params_ref[0, 0]
+    fb, fc, fs, fh = (params_ref[0, 1], params_ref[0, 2],
+                      params_ref[0, 3], params_ref[0, 4])
+
+    def bright(r, g, b):
+        return (jnp.clip(r * fb, 0, 1), jnp.clip(g * fb, 0, 1),
+                jnp.clip(b * fb, 0, 1))
+
+    def contrast(r, g, b):
+        gray = jnp.mean(_GRAY[0] * r + _GRAY[1] * g + _GRAY[2] * b)
+        return tuple(jnp.clip(gray + fc * (c - gray), 0, 1)
+                     for c in (r, g, b))
+
+    def sat(r, g, b):
+        gray = _GRAY[0] * r + _GRAY[1] * g + _GRAY[2] * b
+        return tuple(jnp.clip(gray + fs * (c - gray), 0, 1)
+                     for c in (r, g, b))
+
+    def hue(r, g, b):
+        return _hsv_shift(r, g, b, fh)
+
+    ops = [bright, contrast, sat, hue]
+    jr, jg, jb = r, g, b
+    for slot in range(4):
+        op_idx = params_ref[0, 5 + slot].astype(jnp.int32)
+        jr, jg, jb = jax.lax.switch(op_idx, ops, jr, jg, jb)
+
+    r = enable * jr + (1.0 - enable) * r
+    g = enable * jg + (1.0 - enable) * g
+    b = enable * jb + (1.0 - enable) * b
+
+    # frei channel noise (factors arrive pre-gated: 1.0 when disabled)
+    r = jnp.clip(r * params_ref[0, 9], 0, 1)
+    g = jnp.clip(g * params_ref[0, 10], 0, 1)
+    b = jnp.clip(b * params_ref[0, 11], 0, 1)
+
+    for c, plane in enumerate((r, g, b)):
+        out_ref[0, :, :, c] = ((plane - IMAGENET_MEAN[c])
+                               / IMAGENET_STD[c]).astype(jnp.bfloat16)
+
+    # MSRA targets, same distance-field math as ops/pallas/heatmap.py
+    tmp = int(3 * sigma)
+    inv = 1.0 / (2.0 * sigma * sigma)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (heatmap_size, heatmap_size), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (heatmap_size, heatmap_size), 1)
+    for j in range(num_joints):
+        dx = xs - mu_ref[0, j, 0]
+        dy = ys - mu_ref[0, j, 1]
+        gsn = jnp.exp(-(dx.astype(jnp.float32) ** 2
+                        + dy.astype(jnp.float32) ** 2) * inv)
+        support = (jnp.abs(dx) <= tmp) & (jnp.abs(dy) <= tmp)
+        hm_ref[0, j] = (gsn * support.astype(jnp.float32)
+                        * mu_ref[0, j, 2].astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("heatmap_size", "stride",
+                                             "sigma", "interpret"))
+def fused_aug_targets_pallas(
+    key: jax.Array,
+    images_u8: jnp.ndarray,       # [B, H, W, 3] uint8 (NHWC, loader layout)
+    joints: jnp.ndarray,          # [B, J, 2]
+    aug_enabled: jnp.ndarray,     # [B]
+    noise_enabled: jnp.ndarray,   # [B]
+    heatmap_size: int = 64,
+    stride: float = 4.0,
+    sigma: float = 2.0,
+    interpret: bool = False,
+):
+    """Returns (images bf16 [B,H,W,3] normalized, targets f32 [B,J,hm,hm]).
+
+    Random draws (jitter factors + order permutation + channel noise)
+    happen in plain jnp OUTSIDE the kernel — tiny [B, 12] tensors — so the
+    kernel stays a pure elementwise pass; semantics mirror
+    ops.color.color_jitter / channel_pixel_noise.
+    """
+    b_sz, h, w, _ = images_u8.shape
+    j = joints.shape[1]
+    k_order, kb, kc, ks, kh, kn = jax.random.split(key, 6)
+
+    fb = jax.random.uniform(kb, (b_sz,), minval=0.5, maxval=1.5)
+    fc = jax.random.uniform(kc, (b_sz,), minval=0.5, maxval=1.5)
+    fs = jax.random.uniform(ks, (b_sz,), minval=0.5, maxval=1.5)
+    fh = jax.random.uniform(kh, (b_sz,), minval=-0.5, maxval=0.5)
+    order = jax.vmap(lambda k: jax.random.permutation(k, 4))(
+        jax.random.split(k_order, b_sz)).astype(jnp.float32)
+    pn = jax.random.uniform(kn, (b_sz, 3), minval=0.6, maxval=1.4)
+    pn = pn * noise_enabled[:, None] + (1.0 - noise_enabled[:, None])
+
+    params = jnp.concatenate(
+        [aug_enabled[:, None].astype(jnp.float32),
+         fb[:, None], fc[:, None], fs[:, None], fh[:, None],
+         order, pn], axis=1)  # [B, 12]
+
+    tmp = int(3 * sigma)
+    mu = (joints[..., :2].astype(jnp.float32) / stride + 0.5).astype(jnp.int32)
+    ul, br = mu - tmp, mu + tmp + 1
+    valid = ~((ul[..., 0] >= heatmap_size) | (ul[..., 1] >= heatmap_size)
+              | (br[..., 0] < 0) | (br[..., 1] < 0))
+    packed = jnp.concatenate([mu, valid.astype(jnp.int32)[..., None]],
+                             axis=-1)
+
+    planar = jnp.transpose(images_u8, (0, 3, 1, 2))  # [B, 3, H, W]
+
+    kernel = functools.partial(_kernel, height=h, width=w, num_joints=j,
+                               heatmap_size=heatmap_size, sigma=sigma)
+    return pl.pallas_call(
+        kernel,
+        grid=(b_sz,),
+        in_specs=[
+            pl.BlockSpec((1, 12), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, j, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 3, h, w), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, h, w, 3), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, j, heatmap_size, heatmap_size),
+                         lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_sz, h, w, 3), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b_sz, j, heatmap_size, heatmap_size),
+                                 jnp.float32),
+        ),
+        interpret=interpret,
+    )(params, packed, planar)
