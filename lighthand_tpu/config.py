@@ -69,6 +69,8 @@ class TrainConfig:
     steps_per_dispatch: int = 1    # lax.scan K optimizer steps per dispatch
     flip: bool = False             # random hflip aug (TPU extension; the
     # reference's flip is permanently off, frei_dataloader.py:107)
+    rot_aug: float = 0.0           # on-device rotation aug, degrees
+    # (TPU extension; 0 = off)
     trace: bool = False            # capture an XLA profiler trace of a few
     # steps of the first epoch into {output_dir}/trace
 
@@ -174,6 +176,10 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
     parser.add_argument("--flip", action="store_true",
                         help="random horizontal-flip augmentation "
                              "(TPU extension; off in the reference)")
+    parser.add_argument("--rot-aug", dest="rot_aug", default=0.0,
+                        type=float,
+                        help="on-device rotation augmentation in degrees "
+                             "(TPU extension; 0 = off)")
     parser.add_argument("--trace", action="store_true",
                         help="profile a few steps of the first epoch into "
                              "{output_dir}/trace (TensorBoard-loadable)")
@@ -208,6 +214,7 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
             assume_yes=a.yes,
             steps_per_dispatch=a.steps_per_dispatch,
             flip=a.flip,
+            rot_aug=a.rot_aug,
             trace=a.trace,
         ),
         eval=EvalConfig(eval=a.eval, test=a.test, plt=a.plt),

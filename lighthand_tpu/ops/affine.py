@@ -178,6 +178,36 @@ def flip_img(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.flip(img, axis=1)
 
 
+def rotate_px_batch(images: jnp.ndarray, joints: jnp.ndarray,
+                    degrees: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sample rotation about the image center: NHWC batch warped with
+    the batched inverse bilinear warp, pixel-space joints rotated forward
+    (p' = R (p - c) + c). ``degrees`` is [B]; extra joint columns
+    (visibility) pass through. Device-side equivalent of the reference's
+    host cv2 rotation (image_ops.py:110-118)."""
+    h, w = images.shape[1], images.shape[2]
+    rad = jnp.deg2rad(degrees.astype(jnp.float32))
+    cs, sn = jnp.cos(rad), jnp.sin(rad)
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+
+    x = joints[..., 0] - cx
+    y = joints[..., 1] - cy
+    jx = cs[:, None] * x - sn[:, None] * y + cx
+    jy = sn[:, None] * x + cs[:, None] * y + cy
+    joints = jnp.concatenate(
+        [jx[..., None], jy[..., None], joints[..., 2:]], axis=-1)
+
+    zeros = jnp.zeros_like(cs)
+    ones = jnp.ones_like(cs)
+    # out->in matrix = R(-theta) about the center
+    m = jnp.stack([
+        jnp.stack([cs, sn, cx - cs * cx - sn * cy], axis=-1),
+        jnp.stack([-sn, cs, cy + sn * cx - cs * cy], axis=-1),
+        jnp.stack([zeros, zeros, ones], axis=-1),
+    ], axis=1)  # [B, 3, 3]
+    return affine_warp_batch(images, m, (h, w)), joints
+
+
 def hflip_px(images: jnp.ndarray, joints: jnp.ndarray,
              flip_mask: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-sample horizontal flip of an NHWC batch + pixel-space joints.

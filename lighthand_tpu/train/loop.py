@@ -140,7 +140,8 @@ class Trainer:
             self._dispatch_fields.append("hm_max")
 
         step_kw = dict(heatmap_size=hm, stride=stride, jitter=True,
-                       target_style=train_style, flip=cfg.train.flip)
+                       target_style=train_style, flip=cfg.train.flip,
+                       rot_deg=cfg.train.rot_aug)
         self.train_step = make_fused_train_step(
             scan_steps=self.scan_steps, **step_kw)
         # k=1 step for the ragged tail of a scan dispatch (compiled lazily,

@@ -102,7 +102,8 @@ def make_fused_train_step(heatmap_size: int = 64, stride: float = 4.0,
                           sigma: float = 2.0, jitter: bool = True,
                           scan_steps: int = 1,
                           target_style: str = "msra",
-                          flip: bool = False):
+                          flip: bool = False,
+                          rot_deg: float = 0.0):
     """Fully-fused train step: uint8 batch in, preprocess (per-sample color
     jitter + frei channel noise + normalize, ops/color.py) inside the jit,
     optional ``lax.scan`` over ``scan_steps`` pre-staged microbatches.
@@ -123,7 +124,9 @@ def make_fused_train_step(heatmap_size: int = 64, stride: float = 4.0,
     ``flip=True`` adds random horizontal flips (p=0.5; image mirrored,
     joint x -> W-1-x) — a TPU extension; the reference's flip is
     permanently disabled (frei_dataloader.py:107) and uses an SMPL body
-    joint ordering (image_ops.py:180-200).
+    joint ordering (image_ops.py:180-200). ``rot_deg>0`` adds per-sample
+    on-device rotation in [-rot_deg, rot_deg] (batched inverse warp,
+    ops/affine.py:affine_warp_batch).
 
     Returns step(state, key, batch) -> (state, metrics) where batch has
     image_u8 [K?, B, H, W, 3] u8, joints [K?, B, 21, 2], aug_enabled /
@@ -138,7 +141,8 @@ def make_fused_train_step(heatmap_size: int = 64, stride: float = 4.0,
         normalize_imagenet,
     )
 
-    def _preprocess(key, images_u8, aug_enabled, noise_enabled):
+    def _preprocess_raw(key, images_u8, aug_enabled, noise_enabled):
+        """uint8 -> [0,1] float with per-sample jitter/noise applied."""
         imgs = images_u8.astype(jnp.float32) / 255.0
         k_jit, k_noise = jax.random.split(key)
         if jitter:
@@ -149,7 +153,7 @@ def make_fused_train_step(heatmap_size: int = 64, stride: float = 4.0,
             imgs = jax.vmap(
                 lambda k, im, en: channel_pixel_noise(k, im, enable=en)
             )(nkeys, imgs, noise_enabled)
-        return normalize_imagenet(imgs).astype(jnp.bfloat16)
+        return imgs
 
     def _maybe_flip(key, images, joints):
         if not flip:
@@ -159,10 +163,27 @@ def make_fused_train_step(heatmap_size: int = 64, stride: float = 4.0,
         f = jax.random.bernoulli(key, 0.5, (images.shape[0],))
         return hflip_px(images, joints, f)
 
+    def _maybe_rotate(key, images, joints):
+        """On-device rotation aug (TPU extension, ``--rot-aug DEG``): each
+        sample rotates uniformly in [-rot_deg, rot_deg] about the image
+        center via the batched inverse bilinear warp (ops/affine.py) —
+        the device-side equivalent of the reference's host cv2 rotation
+        (image_ops.py:110-118). Applied in raw [0,1] space so the black
+        border normalizes like the reference's."""
+        if rot_deg <= 0:
+            return images, joints
+        from lighthand_tpu.ops.affine import rotate_px_batch
+
+        deg = jax.random.uniform(key, (images.shape[0],),
+                                 minval=-rot_deg, maxval=rot_deg)
+        return rotate_px_batch(images, joints, deg)
+
     def _one(state, key, images_u8, joints, aug_enabled, noise_enabled,
              hm_max):
-        k_pre, k_flip = jax.random.split(key)
-        images = _preprocess(k_pre, images_u8, aug_enabled, noise_enabled)
+        k_pre, k_flip, k_rot = jax.random.split(key, 3)
+        imgs = _preprocess_raw(k_pre, images_u8, aug_enabled, noise_enabled)
+        imgs, joints = _maybe_rotate(k_rot, imgs, joints)
+        images = normalize_imagenet(imgs).astype(jnp.bfloat16)
         images, joints = _maybe_flip(k_flip, images, joints)
         targets = make_targets(joints, style=target_style,
                                heatmap_size=heatmap_size, stride=stride,

@@ -365,3 +365,50 @@ def test_last_checkpoint_marker(tmp_path):
     os.makedirs(out)
     save_checkpoint(state, out, epoch=7, best_loss=0.5, count=2)
     assert config_iteration(out) == 7
+
+
+def test_rotate_px_batch_consistency(rng):
+    """A bright dot must land at the forward-rotated joint position."""
+    from lighthand_tpu.ops.affine import rotate_px_batch
+
+    b, s = 2, 64
+    imgs = np.zeros((b, s, s, 3), np.float32)
+    pts = np.array([[40.0, 20.0], [12.0, 50.0]], np.float32)
+    for i in range(b):
+        imgs[i, int(pts[i, 1]), int(pts[i, 0])] = 1.0
+    joints = np.tile(pts[:, None, :], (1, 21, 1))
+    deg = jnp.asarray([30.0, -45.0])
+    out, jr = rotate_px_batch(jnp.asarray(imgs), jnp.asarray(joints), deg)
+    out = np.asarray(out)
+    jr = np.asarray(jr)
+    for i in range(b):
+        yy, xx = np.unravel_index(np.argmax(out[i, ..., 0]), (s, s))
+        assert abs(xx - jr[i, 0, 0]) <= 1.0 and abs(yy - jr[i, 0, 1]) <= 1.0
+    # zero rotation is identity
+    out0, j0 = rotate_px_batch(jnp.asarray(imgs), jnp.asarray(joints),
+                               jnp.zeros(b))
+    np.testing.assert_allclose(np.asarray(out0), imgs, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(j0), joints, atol=1e-5)
+
+
+def test_fused_step_rotation_aug(rng):
+    from lighthand_tpu.core.dtypes import DTypePolicy
+    from lighthand_tpu.models import get_model
+    from lighthand_tpu.train import create_train_state
+    from lighthand_tpu.train.step import make_fused_train_step
+
+    model = get_model("resnet18", policy=DTypePolicy.full_precision())
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               input_shape=(1, 64, 64, 3), lr=1e-3)
+    step = make_fused_train_step(heatmap_size=16, stride=4.0, jitter=False,
+                                 scan_steps=1, rot_deg=30.0, flip=True)
+    batch = {
+        "image_u8": jnp.asarray(rng.integers(
+            0, 255, size=(4, 64, 64, 3), dtype=np.uint8)),
+        "joints": jnp.asarray(
+            rng.uniform(16, 48, size=(4, 21, 2)).astype(np.float32)),
+        "aug_enabled": jnp.zeros(4),
+        "noise_enabled": jnp.zeros(4),
+    }
+    state, m = step(state, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(m["loss"]))
