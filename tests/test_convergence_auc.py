@@ -2,11 +2,12 @@
 documented AUC floor through the REAL offline eval harness
 (pred_store -> pred_eval), the round-2 accuracy-parity gate (VERDICT #1).
 
-Scale is CPU-budgeted: resnet18 @ 64 px on 256 deterministic synthetic
-samples, a few epochs — enough for the heatmap head to localize blobs the
-generator draws explicitly. The documented floor (AUC(pckb 0.1-0.3) >= 60
-on train-distribution samples) fails loudly if the train step, decode, or
-eval-harness math regresses.
+Scale is CPU-budgeted: resnet18 @ 32 px overfits ONE 16-sample batch for
+STEPS optimizer steps, then the same samples go through the real
+pred_store/pred_eval path. Overfit localization is deterministic at this
+scale; the documented floor (AUC(pckb 0.1-0.3) >= AUC_FLOOR on the
+overfit batch) fails loudly if the train step, decode, or eval-harness
+math regresses.
 """
 
 import jax
@@ -21,13 +22,16 @@ from lighthand_tpu.models import get_model
 from lighthand_tpu.train import create_train_state
 from lighthand_tpu.train.step import make_fused_train_step, make_predict_step
 
-AUC_FLOOR = 60.0  # pckb [0.1, 0.3] grid; documented floor for this config
+# Calibrated on this config (seeds fixed): AUC 78.9 @ step 100,
+# 88.2 @ step 200 — the floor leaves ~2x margin on the convergence rate.
+AUC_FLOOR = 70.0  # pckb [0.1, 0.3] grid
+STEPS = 300
 
 
 def test_train_to_auc_floor(tmp_path):
-    size, hm, bs = 64, 16, 32
-    train_src = SyntheticHands(length=256, size=size, seed=1234)
-    eval_src = SyntheticHands(length=64, size=size, seed=1234,
+    size, hm, bs = 32, 8, 16
+    train_src = SyntheticHands(length=bs, size=size, seed=1234)
+    eval_src = SyntheticHands(length=bs, size=size, seed=1234,
                               with_visibility=True)
 
     model = get_model("resnet18", policy=DTypePolicy.full_precision())
@@ -36,16 +40,14 @@ def test_train_to_auc_floor(tmp_path):
     step = make_fused_train_step(heatmap_size=hm, stride=4.0, jitter=False,
                                  scan_steps=1)
 
-    loader = Loader(train_src, bs, mesh=None, shuffle=True, num_workers=2)
+    loader = Loader(train_src, bs, mesh=None, shuffle=False, num_workers=2)
+    batch = next(iter(loader))
+    dispatch = {k: batch[k] for k in ("image_u8", "joints", "aug_enabled",
+                                      "noise_enabled")}
     key = jax.random.PRNGKey(1)
-    for epoch in range(6):
-        loader.set_epoch(epoch)
-        for batch in loader:
-            key, sub = jax.random.split(key)
-            dispatch = {k: batch[k] for k in ("image_u8", "joints",
-                                              "aug_enabled",
-                                              "noise_enabled")}
-            state, m = step(state, sub, dispatch)
+    for _ in range(STEPS):
+        key, sub = jax.random.split(key)
+        state, m = step(state, sub, dispatch)
     assert np.isfinite(float(m["loss"]))
 
     predict = make_predict_step(stride=4.0)
