@@ -49,6 +49,7 @@ def measure(model_name: str, batch: int, size: int,
             precision: str = "bf16", scan_steps: int = SCAN_STEPS,
             measure: int = MEASURE) -> float:
     from lighthand_tpu.core.dtypes import DTypePolicy
+    from lighthand_tpu.core.prng import cpu_prng_key
     from lighthand_tpu.core.mesh import (
         MeshSpec,
         create_mesh,
@@ -64,7 +65,7 @@ def measure(model_name: str, batch: int, size: int,
     policy = (DTypePolicy.all_bf16() if precision == "all_bf16"
               else DTypePolicy())
     model = get_model(model_name, policy=policy)
-    state = create_train_state(model, jax.random.PRNGKey(0),
+    state = create_train_state(model, cpu_prng_key(0),
                                input_shape=(1, size, size, 3), lr=1e-3)
     state = jax.device_put(state, replicated_sharding(mesh))
     step = make_fused_train_step(heatmap_size=size // 4, stride=4.0,
@@ -89,7 +90,7 @@ def measure(model_name: str, batch: int, size: int,
         "aug_enabled": shard(np.ones((scan_steps, batch), np.float32)),
         "noise_enabled": shard(np.zeros((scan_steps, batch), np.float32)),
     }
-    key = jax.random.PRNGKey(1)
+    key = cpu_prng_key(1)
 
     for _ in range(WARMUP):
         key, sub = jax.random.split(key)

@@ -15,6 +15,7 @@ import jax
 from lighthand_tpu.config import parse_args
 from lighthand_tpu.core.dtypes import DTypePolicy
 from lighthand_tpu.core.mesh import MeshSpec, create_mesh, replicated_sharding
+from lighthand_tpu.core.prng import cpu_prng_key
 from lighthand_tpu.data import DevicePreprocessor, Loader, build_dataset
 from lighthand_tpu.eval.harness import (
     pred_eval,
@@ -82,7 +83,7 @@ def main(argv=None) -> int:
             if run_name.split("/")[0] in ("simplebaseline", "hrnet") \
             else cfg.model.name
         model = get_model(model_name, policy=policy)
-        state = create_train_state(model, jax.random.PRNGKey(0),
+        state = create_train_state(model, cpu_prng_key(0),
                                    input_shape=(1, size, size, 3))
         state = jax.device_put(state, replicated_sharding(mesh))
         state = load_weights_only(state, ckpt)
@@ -96,14 +97,14 @@ def main(argv=None) -> int:
             out_json = os.path.join("final_model", run_name, "test.json")
             pred_store_test(loader, lambda im: predict_step(state, im)[0],
                             out_json, preprocess=preprocess,
-                            rng_key=jax.random.PRNGKey(1))
+                            rng_key=cpu_prng_key(1))
         else:
             out_json = os.path.join("output", run_name, "evaluation.json")
             overlay_dir = (os.path.join("output", run_name)
                            if cfg.eval.plt else None)
             pred_store(loader, lambda im: predict_step(state, im)[0],
                        out_json, preprocess=preprocess,
-                       rng_key=jax.random.PRNGKey(1),
+                       rng_key=cpu_prng_key(1),
                        overlay_dir=overlay_dir)
         stores.append((out_json, run_name))
 

@@ -99,7 +99,9 @@ def pred_store(loader, predict_fn, out_path: str,
     for batch in loader:
         images_u8 = batch["image_u8"]
         if preprocess is not None:
-            rng_key, key = jax.random.split(rng_key)
+            from lighthand_tpu.core.prng import host_split
+
+            rng_key, key = host_split(rng_key)
             images = preprocess(
                 key, images_u8,
                 np.zeros(images_u8.shape[0], np.float32))
@@ -223,7 +225,9 @@ def pred_store_test(loader, predict_fn, out_path: str,
     for batch in loader:
         images_u8 = batch["image_u8"]
         if preprocess is not None:
-            rng_key, key = jax.random.split(rng_key)
+            from lighthand_tpu.core.prng import host_split
+
+            rng_key, key = host_split(rng_key)
             images = preprocess(
                 key, images_u8, np.zeros(images_u8.shape[0], np.float32))
         else:

@@ -28,10 +28,12 @@ import jax.numpy as jnp
 
 from lighthand_tpu.core.dtypes import DTypePolicy, DEFAULT_POLICY
 from lighthand_tpu.models.layers import (
+    TORCH_CONV_KERNEL_INIT,
     BasicBlock,
     Bottleneck,
     ConvBN,
     nearest_upsample,
+    torch_bias_init,
 )
 
 
@@ -182,6 +184,8 @@ class PoseHRNet(nn.Module):
             c.num_joints,
             (k, k),
             padding="SAME" if k == 3 else "VALID",
+            kernel_init=TORCH_CONV_KERNEL_INIT,
+            bias_init=torch_bias_init(xs[0].shape[-1] * k**2),
             dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
             name="final_layer",

@@ -20,6 +20,28 @@ BN_EPS = 1e-5
 
 ModuleDef = Any
 
+# torch's default Conv2d/ConvTranspose2d initialization: kaiming_uniform
+# with a=sqrt(5), i.e. Uniform(+-sqrt(1/fan_in)) => variance 1/(3*fan_in).
+# The reference never calls its init_weights (get_pose_net comments it out,
+# pose_resnet.py:319-320), so torch defaults ARE its effective init; the
+# head-to-head parity runs (tools/parity_*.py) compare against exactly
+# this. Flax's lecun_normal has 3x the variance, which measurably changes
+# early training dynamics on the heatmap head.
+TORCH_CONV_KERNEL_INIT = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(fan_in: int):
+    """torch's default bias init: Uniform(+-1/sqrt(fan_in))."""
+    import jax
+
+    bound = 1.0 / float(fan_in) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
 
 class ConvBN(nn.Module):
     """Conv -> BatchNorm (no bias on the conv, like every reference conv)."""
@@ -38,6 +60,7 @@ class ConvBN(nn.Module):
             strides=(self.stride, self.stride),
             padding="SAME" if self.kernel > 1 else "VALID",
             use_bias=False,
+            kernel_init=TORCH_CONV_KERNEL_INIT,
             dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
         )(x)

@@ -20,11 +20,13 @@ from lighthand_tpu.core.dtypes import DTypePolicy, DEFAULT_POLICY
 from lighthand_tpu.models.layers import (
     BN_EPS,
     BN_MOMENTUM,
+    TORCH_CONV_KERNEL_INIT,
     BasicBlock,
     Bottleneck,
     BottleneckCaffe,
     ConvBN,
     max_pool_3x3_s2,
+    torch_bias_init,
 )
 
 # resnet_spec (pose_resnet.py:301-305)
@@ -52,6 +54,7 @@ class DeconvBNRelu(nn.Module):
             strides=(2, 2),
             padding="SAME",
             use_bias=False,  # DECONV_WITH_BIAS: false (simplebaseline/config.py)
+            kernel_init=TORCH_CONV_KERNEL_INIT,
             dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
         )(x)
@@ -113,6 +116,9 @@ class PoseResNet(nn.Module):
             self.num_joints,
             (self.final_conv_kernel, self.final_conv_kernel),
             padding="SAME" if self.final_conv_kernel == 3 else "VALID",
+            kernel_init=TORCH_CONV_KERNEL_INIT,
+            bias_init=torch_bias_init(
+                x.shape[-1] * self.final_conv_kernel**2),
             dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
             name="final_layer",

@@ -101,8 +101,11 @@ class Trainer:
 
         self.model = get_model(cfg.model.name, cfg.model.num_joints,
                                policy=self.policy)
-        rng = jax.random.PRNGKey(cfg.train.seed)
-        self.rng, init_rng = jax.random.split(rng)
+        from lighthand_tpu.core.prng import cpu_prng_key, host_split
+
+        self._host_split = host_split
+        rng = cpu_prng_key(cfg.train.seed)
+        self.rng, init_rng = host_split(rng)
         size = cfg.data.image_size
         self.state: TrainState = create_train_state(
             self.model, init_rng, input_shape=(1, size, size, 3),
@@ -141,7 +144,8 @@ class Trainer:
 
         step_kw = dict(heatmap_size=hm, stride=stride, jitter=True,
                        target_style=train_style, flip=cfg.train.flip,
-                       rot_deg=cfg.train.rot_aug)
+                       rot_deg=cfg.train.rot_aug,
+                       compute_dtype=self.policy.compute_dtype)
         self.train_step = make_fused_train_step(
             scan_steps=self.scan_steps, **step_kw)
         # k=1 step for the ragged tail of a scan dispatch (compiled lazily,
@@ -153,7 +157,8 @@ class Trainer:
                                         target_style=val_style)
         self._predict_step = None  # lazy; train-overlay path only
         self.stride = stride
-        self.preprocess = DevicePreprocessor(jitter=False)  # eval path
+        self.preprocess = DevicePreprocessor(
+            jitter=False, out_dtype=self.policy.compute_dtype)  # eval path
         self.writer = ScalarWriter(cfg.tensorboard_dir,
                                    jsonl_dir=cfg.output_dir)
 
@@ -244,7 +249,7 @@ class Trainer:
                     for name in self._dispatch_fields
                 }
             microbatches = []
-            self.rng, key = jax.random.split(self.rng)
+            self.rng, key = self._host_split(self.rng)
             self.state, metrics = self.train_step(self.state, key, dispatch)
             n_images += k * bsz
             n_dispatch += 1
@@ -270,7 +275,7 @@ class Trainer:
         # up to k-1 trailing loader batches per epoch
         for tail in microbatches:
             dispatch = {name: tail[name] for name in self._dispatch_fields}
-            self.rng, key = jax.random.split(self.rng)
+            self.rng, key = self._host_split(self.rng)
             self.state, metrics = self.train_step_k1(self.state, key,
                                                      dispatch)
             n_images += bsz
@@ -284,6 +289,14 @@ class Trainer:
         self._last_epoch_images = n_images
         self.writer.add_scalar("Loss/train", losses.avg, epoch)
         self.writer.add_scalar("perf/images_per_sec", ips, epoch)
+        try:  # host-memory watchdog (long runs through the remote tunnel)
+            with open("/proc/self/statm") as f:
+                rss_gb = int(f.read().split()[1]) * 4096 / 1e9
+            self.logger.debug(
+                f"epoch {epoch}: {ips:.1f} img/s, host rss {rss_gb:.1f} GB, "
+                f"{len(jax.live_arrays())} live arrays")
+        except OSError:  # pragma: no cover
+            pass
         return losses.avg, ips
 
     def _train_overlay(self, batch, epoch: int, it: int) -> None:
@@ -294,7 +307,7 @@ class Trainer:
                 from lighthand_tpu.train.step import make_predict_step
 
                 self._predict_step = make_predict_step(stride=self.stride)
-            self.rng, key = jax.random.split(self.rng)
+            self.rng, key = self._host_split(self.rng)
             images = self.preprocess(
                 key, batch["image_u8"],
                 np.zeros(batch["image_u8"].shape[0], np.float32))
@@ -309,7 +322,7 @@ class Trainer:
         bar = Bar(colored(f"{epoch}_VALID", "blue"), max=len(loader))
         vis_iters = {0, len(loader) // 2, len(loader) - 1}
         for it, batch in enumerate(loader):
-            self.rng, key = jax.random.split(self.rng)
+            self.rng, key = self._host_split(self.rng)
             images = self.preprocess(
                 key, batch["image_u8"],
                 np.zeros(batch["image_u8"].shape[0], np.float32),

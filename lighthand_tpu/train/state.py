@@ -68,9 +68,23 @@ def _init_variables(model: nn.Module, rng: jax.Array, init_shape,
 
     from flax import serialization
 
+    # INIT_SCHEME_VERSION salts the cache: repr(model) cannot see changes
+    # to initializer CODE (e.g. the torch-default init swap), so bump this
+    # whenever the init distribution changes.
+    INIT_SCHEME_VERSION = "torch-init-v2"
+    # Pin the key-bytes read to the host: key_data on an uncommitted key
+    # dispatches to the default (remote) device, and str() then does a
+    # pointless tunnel round trip per CLI start (observed wedging when the
+    # tunnel's RNG stream is unhealthy).
+    import numpy as _np
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        key_bytes = _np.asarray(
+            jax.random.key_data(jax.device_put(rng, cpu))).tobytes()
     key = hashlib.sha256(
-        (repr(model) + repr(init_shape) + str(jax.random.key_data(rng))
-         + jax.__version__).encode()
+        (repr(model) + repr(init_shape) + jax.__version__
+         + INIT_SCHEME_VERSION).encode() + key_bytes
     ).hexdigest()[:24]
     cache_dir = os.path.expanduser("~/.cache/lighthand_tpu_init")
     cache_path = os.path.join(cache_dir, f"{key}.msgpack")

@@ -103,7 +103,8 @@ def make_fused_train_step(heatmap_size: int = 64, stride: float = 4.0,
                           scan_steps: int = 1,
                           target_style: str = "msra",
                           flip: bool = False,
-                          rot_deg: float = 0.0):
+                          rot_deg: float = 0.0,
+                          compute_dtype=jnp.bfloat16):
     """Fully-fused train step: uint8 batch in, preprocess (per-sample color
     jitter + frei channel noise + normalize, ops/color.py) inside the jit,
     optional ``lax.scan`` over ``scan_steps`` pre-staged microbatches.
@@ -183,7 +184,9 @@ def make_fused_train_step(heatmap_size: int = 64, stride: float = 4.0,
         k_pre, k_flip, k_rot = jax.random.split(key, 3)
         imgs = _preprocess_raw(k_pre, images_u8, aug_enabled, noise_enabled)
         imgs, joints = _maybe_rotate(k_rot, imgs, joints)
-        images = normalize_imagenet(imgs).astype(jnp.bfloat16)
+        # emit the model's compute dtype (bf16 halves the input's HBM
+        # traffic; f32 policies keep full precision end to end)
+        images = normalize_imagenet(imgs).astype(compute_dtype)
         images, joints = _maybe_flip(k_flip, images, joints)
         targets = make_targets(joints, style=target_style,
                                heatmap_size=heatmap_size, stride=stride,

@@ -32,7 +32,9 @@ def set_seed(seed: int) -> jax.Array:
     import random
 
     random.seed(seed)
-    return jax.random.PRNGKey(seed)
+    from lighthand_tpu.core.prng import cpu_prng_key
+
+    return cpu_prng_key(seed)
 
 
 def save_config(cfg: Any, output_dir: str, name: str = "config.yaml") -> str:

@@ -63,7 +63,9 @@ def main() -> int:
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / n * 1e3  # ms
 
-    key = jax.random.PRNGKey(0)
+    from lighthand_tpu.core.prng import cpu_prng_key
+
+    key = cpu_prng_key(0)
     ms_jnp = timeit(lambda k: jnp_chain(k, images, aug, noise), key)
     ms_pallas = timeit(
         lambda k: fused_aug_targets_pallas(k, images, joints, aug, noise,

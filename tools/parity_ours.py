@@ -26,6 +26,7 @@ def main(argv=None) -> int:
     p.add_argument("--bs", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--layers", type=int, default=18)
+    p.add_argument("--seed", type=int, default=9001)
     p.add_argument("--precision", default="f32")
     p.add_argument("--out", default="parity_ours.json")
     p.add_argument("--run-dir", default="output/parity_ours")
@@ -45,6 +46,8 @@ def main(argv=None) -> int:
     cfg.data.num_our = a.n
     cfg.data.ratio_of_aug = 0.0      # torch side can't jitter (no torchvision)
     cfg.train.epochs = a.epochs
+    cfg.train.seed = a.seed
+    cfg.data.shuffle_seed = a.seed
     cfg.train.lr = a.lr
     cfg.train.early_stop_count = 10**9
     cfg.train.visualize = False

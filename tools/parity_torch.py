@@ -70,6 +70,7 @@ def main(argv=None) -> int:
     p.add_argument("--bs", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--layers", type=int, default=18)
+    p.add_argument("--seed", type=int, default=9001)
     p.add_argument("--out", default="parity_torch.json")
     a = p.parse_args(argv)
 
@@ -89,8 +90,8 @@ def main(argv=None) -> int:
     from lighthand_tpu.ops.heatmap import generate_target_batch
     from lighthand_tpu.ops.metrics import epe_train, pck_2d
 
-    torch.manual_seed(9001)
-    np.random.seed(9001)
+    torch.manual_seed(a.seed)
+    np.random.seed(a.seed)
 
     size = a.size
     hm = size // 4
@@ -135,7 +136,7 @@ def main(argv=None) -> int:
                            threshold="proportion"))
         return float(epe_sum) / float(epe_cnt), pck
 
-    rng = np.random.default_rng(9001)
+    rng = np.random.default_rng(a.seed)
     history = []
     n_batches = len(train_ds) // a.bs
     for epoch in range(a.epochs):
