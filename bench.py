@@ -49,7 +49,7 @@ def measure(model_name: str, batch: int, size: int,
             precision: str = "bf16", scan_steps: int = SCAN_STEPS,
             measure: int = MEASURE) -> float:
     from lighthand_tpu.core.dtypes import DTypePolicy
-    from lighthand_tpu.core.prng import cpu_prng_key
+    from lighthand_tpu.core.prng import cpu_prng_key, host_split
     from lighthand_tpu.core.mesh import (
         MeshSpec,
         create_mesh,
@@ -93,18 +93,33 @@ def measure(model_name: str, batch: int, size: int,
     key = cpu_prng_key(1)
 
     for _ in range(WARMUP):
-        key, sub = jax.random.split(key)
+        key, sub = host_split(key)
         state, metrics = step(state, sub, batch_d)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(measure):
-        key, sub = jax.random.split(key)
+        key, sub = host_split(key)
         state, metrics = step(state, sub, batch_d)
     jax.block_until_ready(metrics["loss"])
     elapsed = time.perf_counter() - t0
+    ips = measure * scan_steps * batch / elapsed / n_chips
 
-    return measure * scan_steps * batch / elapsed / n_chips
+    # Cross-check with per-dispatch blocking: through the remote tunnel the
+    # pipelined timing has (rarely) produced impossible numbers when the
+    # final block resolved early; the blocked measurement is a hard floor.
+    t0 = time.perf_counter()
+    for _ in range(3):
+        key, sub = host_split(key)
+        state, metrics = step(state, sub, batch_d)
+        jax.block_until_ready(metrics["loss"])
+    blocked_ips = 3 * scan_steps * batch / (time.perf_counter() - t0) / n_chips
+    if ips > 1.3 * blocked_ips:
+        print(f"# WARNING: pipelined timing implausible "
+              f"({ips:.0f} vs blocked {blocked_ips:.0f} img/s); "
+              f"reporting the blocked measurement", flush=True)
+        return blocked_ips
+    return ips
 
 
 def main() -> None:

@@ -412,3 +412,16 @@ def test_fused_step_rotation_aug(rng):
     }
     state, m = step(state, jax.random.PRNGKey(1), batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_cpu_prng_key_stays_on_host():
+    """Host-side keys must live on the CPU device: through the remote TPU
+    tunnel a PRNGKey/split on the default device is a round trip per call
+    (and a hang when the tunnel's RNG stream wedges)."""
+    from lighthand_tpu.core.prng import cpu_prng_key, host_split
+
+    k = cpu_prng_key(42)
+    assert all(d.platform == "cpu" for d in k.devices())
+    a, b = host_split(k)
+    assert all(d.platform == "cpu" for d in a.devices())
+    assert not np.array_equal(np.asarray(a), np.asarray(b))

@@ -32,7 +32,7 @@ def run_workload(model_name: str, batch: int, size: int, out_dir: str,
 
     enable_compilation_cache()
     from lighthand_tpu.core.dtypes import DTypePolicy
-    from lighthand_tpu.core.prng import cpu_prng_key
+    from lighthand_tpu.core.prng import cpu_prng_key, host_split
     from lighthand_tpu.core.mesh import (
         MeshSpec,
         create_mesh,
@@ -71,13 +71,13 @@ def run_workload(model_name: str, batch: int, size: int, out_dir: str,
     }
     key = cpu_prng_key(1)
     for _ in range(3):  # warmup/compile outside the trace
-        key, sub = jax.random.split(key)
+        key, sub = host_split(key)
         state, m = step(state, sub, batch_d)
     jax.block_until_ready(m["loss"])
 
     with trace(out_dir):
         for _ in range(steps):
-            key, sub = jax.random.split(key)
+            key, sub = host_split(key)
             state, m = step(state, sub, batch_d)
         jax.block_until_ready(m["loss"])
 
