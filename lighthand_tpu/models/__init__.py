@@ -18,7 +18,7 @@ def get_model(name: str, num_joints: int = 21,
               policy: DTypePolicy = DEFAULT_POLICY) -> nn.Module:
     """name: 'simplebaseline' (= resnet50), 'resnet{18,34,50,101,152}',
     'hrnet' (= hrnet_w48, matching the reference cfg.yaml), 'hrnet_w32',
-    'hrnet_w48'."""
+    'hrnet_w48', 'hrnet_tiny' (compile-budget test topology)."""
     name = name.lower()
     if name in ("simplebaseline", "resnet", "resnet50"):
         return PoseResNet(num_layers=50, num_joints=num_joints, policy=policy)
@@ -29,6 +29,8 @@ def get_model(name: str, num_joints: int = 21,
         return PoseHRNet(cfg=HRNetCfg.w48(), policy=policy)
     if name == "hrnet_w32":
         return PoseHRNet(cfg=HRNetCfg.w32(), policy=policy)
+    if name == "hrnet_tiny":
+        return PoseHRNet(cfg=HRNetCfg.tiny(), policy=policy)
     if name.startswith("hrnet_w"):
         return PoseHRNet(cfg=HRNetCfg.from_width(int(name[len("hrnet_w"):])),
                          policy=policy)

@@ -71,6 +71,20 @@ class HRNetCfg:
         )
 
     @classmethod
+    def tiny(cls) -> "HRNetCfg":
+        """Trace-identical-but-tiny topology for compile-budgeted checks
+        (the driver's multichip dryrun). Keeps every code path of the full
+        net — 4 stages, 2/3/4 branches, all fuse directions incl. the
+        multi-hop strided chains (|i-j|>=2), both transitions with a new
+        branch — but 1 module per stage, 1 block per branch, width 8, so
+        the CPU compile of the fused train step is seconds, not minutes."""
+        return cls(
+            stage2=HRNetStageCfg(1, 2, (1, 1), (8, 16)),
+            stage3=HRNetStageCfg(1, 3, (1, 1, 1), (8, 16, 32)),
+            stage4=HRNetStageCfg(1, 4, (1, 1, 1, 1), (8, 16, 32, 64)),
+        )
+
+    @classmethod
     def from_width(cls, width: int) -> "HRNetCfg":
         return cls(
             stage2=HRNetStageCfg(1, 2, (4, 4), (width, width * 2)),
