@@ -54,11 +54,17 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # Explicit symmetric padding = torch's padding=k//2. Identical to
+        # "SAME" at stride 1 (odd k), but at stride 2 on even inputs XLA
+        # SAME pads (0,1) while torch pads (1,1) — a one-pixel window
+        # misalignment that breaks exact forward equivalence with the
+        # reference (verified by tests/test_transplant.py).
+        p = self.kernel // 2
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME" if self.kernel > 1 else "VALID",
+            padding=((p, p), (p, p)) if self.kernel > 1 else "VALID",
             use_bias=False,
             kernel_init=TORCH_CONV_KERNEL_INIT,
             dtype=self.policy.compute_dtype,
