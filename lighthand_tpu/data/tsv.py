@@ -171,6 +171,33 @@ def tsv_reader(tsv_path: str):
             yield [x.strip() for x in line.split("\t")]
 
 
+def concat_tsv_files(tsvs: Sequence[str], out_tsv: str) -> None:
+    """Concatenate TSV shards into one file + merged lineidx with offsets
+    rebased by the cumulative byte sizes (reference
+    miscellaneous.py:100-133, concat_files + concat_tsv_files)."""
+    import shutil
+
+    os.makedirs(op.dirname(op.abspath(out_tsv)), exist_ok=True)
+    out_tmp = out_tsv + ".tmp"
+    with open(out_tmp, "wb") as fd:
+        for t in tsvs:
+            with open(t, "rb") as fi:
+                shutil.copyfileobj(fi, fd, 10 * 1024 * 1024)
+
+    base = 0
+    all_idx: List[str] = []
+    for t in tsvs:
+        with open(op.splitext(t)[0] + ".lineidx") as f:
+            all_idx.extend(str(int(line) + base)
+                           for line in f if line.strip())
+        base += os.stat(t).st_size
+    idx_tmp = op.splitext(out_tsv)[0] + ".lineidx.tmp"
+    with open(idx_tmp, "w") as f:
+        f.write("\n".join(all_idx) + ("\n" if all_idx else ""))
+    os.replace(out_tmp, out_tsv)
+    os.replace(idx_tmp, op.splitext(out_tsv)[0] + ".lineidx")
+
+
 def img_from_base64(s: str | bytes) -> Optional[np.ndarray]:
     """base64 JPEG -> BGR uint8 (reference image_ops.py:16-23).
 

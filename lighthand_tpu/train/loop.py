@@ -101,10 +101,13 @@ class Trainer:
 
         self.model = get_model(cfg.model.name, cfg.model.num_joints,
                                policy=self.policy)
-        from lighthand_tpu.core.prng import cpu_prng_key, host_split
+        from lighthand_tpu.core.prng import host_split
+        from lighthand_tpu.utils.misc import set_seed
 
         self._host_split = host_split
-        rng = cpu_prng_key(cfg.train.seed)
+        # seeds np.random/random globally AND returns the root JAX key —
+        # the reference seeds all host RNGs up front (train.py:15-22)
+        rng = set_seed(cfg.train.seed)
         self.rng, init_rng = host_split(rng)
         size = cfg.data.image_size
         self.state: TrainState = create_train_state(

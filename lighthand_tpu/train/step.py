@@ -149,11 +149,20 @@ def make_fused_train_step(heatmap_size: int = 64, stride: float = 4.0,
     # covers exactly the default path: jitter+noise -> bf16 NHWC + MSRA
     # targets, no flip/rot. Everything else falls back to the jnp chain.
     if use_pallas_aug is None:
-        use_pallas_aug = (
-            jitter and target_style == "msra" and not flip
-            and rot_deg <= 0 and compute_dtype == jnp.bfloat16
-            and jax.devices()[0].platform not in ("cpu",)
-        )
+        flags_ok = (jitter and target_style == "msra" and not flip
+                    and rot_deg <= 0 and compute_dtype == jnp.bfloat16)
+        on_accelerator = jax.devices()[0].platform not in ("cpu",)
+        use_pallas_aug = flags_ok and on_accelerator
+        if on_accelerator and not flags_ok:
+            # Say so once at step build — a user benchmarking with
+            # --rot-aug/--flip/f32/non-msra targets should know the fused
+            # kernel (+3.6% end to end) is off for this run.
+            import logging
+
+            logging.getLogger("lighthand_tpu").warning(
+                "fused Pallas aug+target kernel disabled for this step "
+                "(requires jitter + msra targets + bf16, no flip/rot); "
+                "using the jnp preprocess chain")
     if use_pallas_aug:
         from lighthand_tpu.ops.pallas.fused_aug import (
             fused_aug_targets_pallas,

@@ -71,3 +71,22 @@ def test_freihand_keypoint_mapping_identity_box(tiny_freihand):
     s = ds[1]
     # joints must land inside the 256px frame given 40..180 inputs
     assert (s.joints > 20).all() and (s.joints < 240).all()
+
+
+def test_concat_tsv_files(tmp_path):
+    """Concatenated shards + rebased lineidx read back identically
+    (reference miscellaneous.py:100-133)."""
+    from lighthand_tpu.data.tsv import TSVFile, concat_tsv_files
+
+    rows_a = [["k0", "aaa"], ["k1", "bb"]]
+    rows_b = [["k2", "c" * 40], ["k3", "dd"], ["k4", "e"]]
+    pa, pb = str(tmp_path / "a.tsv"), str(tmp_path / "b.tsv")
+    tsv_writer(rows_a, pa)
+    tsv_writer(rows_b, pb)
+    out = str(tmp_path / "all.tsv")
+    concat_tsv_files([pa, pb], out)
+
+    t = TSVFile(out)
+    assert len(t) == 5
+    got = [t.seek(i) for i in range(5)]
+    assert got == rows_a + rows_b

@@ -53,6 +53,48 @@ print(f"proc {jax.process_index()}: OK")
 """
 
 
+CHILD_RAGGED = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+import jax
+jax.config.update("jax_platforms", "cpu")  # sitecustomize pins axon,cpu
+
+from lighthand_tpu.core.dist import maybe_initialize_distributed
+assert maybe_initialize_distributed(), "env contract not detected"
+
+import numpy as np
+import jax.numpy as jnp
+from lighthand_tpu.core.mesh import MeshSpec, create_mesh
+from lighthand_tpu.data.pipeline import Loader
+from lighthand_tpu.data.synthetic import SyntheticHands
+
+# len % (batch * nproc) != 0: 10 samples, global batch 8, 2 procs ->
+# one full batch + a ragged tail of 2 padded to 8; the pad slices across
+# processes. Every REAL sample must count exactly once globally.
+mesh = create_mesh(MeshSpec(data=2, model=1))
+src = SyntheticHands(length=10, size=32)
+loader = Loader(src, batch_size=8, mesh=mesh, shuffle=False, num_workers=1,
+                drop_last=False)
+
+@jax.jit
+def weighted(images, valid):
+    per = jnp.mean(images.astype(jnp.float32), axis=(1, 2, 3))
+    w = valid.astype(jnp.float32)
+    return jnp.sum(per * w), jnp.sum(w)
+
+tot, cnt = 0.0, 0.0
+for batch in loader:
+    s, c = weighted(batch["image_u8"], batch["valid"])
+    tot += float(s); cnt += float(c)
+
+want = sum(float(np.mean(src[i].image.astype(np.float32)))
+           for i in range(10))
+assert cnt == 10.0, cnt
+assert abs(tot - want) < 1e-2 * max(abs(want), 1.0), (tot, want)
+print(f"proc {jax.process_index()}: RAGGED OK")
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -61,7 +103,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_cpu_mesh(tmp_path):
+def _run_two_procs(child_src: str) -> str:
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -73,7 +115,7 @@ def test_two_process_cpu_mesh(tmp_path):
             "LIGHTHAND_PROCESS_ID": str(pid),
         })
         procs.append(subprocess.Popen(
-            [sys.executable, "-c", CHILD], env=env,
+            [sys.executable, "-c", child_src], env=env,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
     outs = []
     try:
@@ -92,4 +134,18 @@ def test_two_process_cpu_mesh(tmp_path):
             pytest.skip(
                 f"jax build lacks multi-process CPU collectives:\n{joined}")
         pytest.fail(joined)
+    return joined
+
+
+def test_two_process_cpu_mesh(tmp_path):
+    joined = _run_two_procs(CHILD)
     assert "proc 0: OK" in joined and "proc 1: OK" in joined, joined
+
+
+def test_two_process_ragged_tail(tmp_path):
+    """drop_last=False with len % (batch*nproc) != 0: the padded tail is
+    sliced across processes; global (sum, count) must equal the
+    single-process ground truth — every real sample exactly once."""
+    joined = _run_two_procs(CHILD_RAGGED)
+    assert ("proc 0: RAGGED OK" in joined
+            and "proc 1: RAGGED OK" in joined), joined

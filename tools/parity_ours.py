@@ -26,6 +26,8 @@ def main(argv=None) -> int:
     p.add_argument("--bs", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--layers", type=int, default=18)
+    p.add_argument("--model", default=None,
+                   help="resnetN | hrnet_wN (overrides --layers)")
     p.add_argument("--seed", type=int, default=9001)
     p.add_argument("--precision", default="f32")
     p.add_argument("--out", default="parity_ours.json")
@@ -35,8 +37,9 @@ def main(argv=None) -> int:
     from lighthand_tpu.config import Config
     from lighthand_tpu.train.loop import Trainer
 
-    cfg = Config(name=f"resnet{a.layers}/ours/parity")
-    cfg.model.name = f"resnet{a.layers}"
+    model_name = a.model or f"resnet{a.layers}"
+    cfg = Config(name=f"{model_name}/ours/parity")
+    cfg.model.name = model_name
     cfg.model.precision = a.precision
     cfg.data.dataset = "ours"
     cfg.data.dataset_root = a.data_root

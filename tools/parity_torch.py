@@ -33,13 +33,18 @@ from types import SimpleNamespace
 import numpy as np
 
 REF_POSE_RESNET = "/root/reference/src/modeling/simplebaseline/pose_resnet.py"
+REF_POSE_HRNET = "/root/reference/src/modeling/hrnet/pose_hrnet.py"
+
+
+def _load_module(path: str, name: str):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def load_reference_pose_net(num_layers: int, num_joints: int):
-    spec = importlib.util.spec_from_file_location("ref_pose_resnet",
-                                                  REF_POSE_RESNET)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    mod = _load_module(REF_POSE_RESNET, "ref_pose_resnet")
     cfg = SimpleNamespace(MODEL=SimpleNamespace(
         NUM_JOINTS=num_joints,
         INIT_WEIGHTS=False,
@@ -56,6 +61,41 @@ def load_reference_pose_net(num_layers: int, num_joints: int):
     return mod.get_pose_net(cfg, is_train=True)
 
 
+def load_reference_hrnet(width: int, num_joints: int):
+    """Reference PoseHighResolutionNet (run in place) with the cfg.yaml
+    stage structure (src/modeling/hrnet/config/cfg.yaml:52-90) at base
+    width ``width`` — the same topology family as get_model('hrnet_wN')."""
+    mod = _load_module(REF_POSE_HRNET, "ref_pose_hrnet")
+
+    def stage(n_mod, n_br, blocks, channels):
+        return {"NUM_MODULES": n_mod, "NUM_BRANCHES": n_br, "BLOCK": "BASIC",
+                "NUM_BLOCKS": blocks, "NUM_CHANNELS": channels,
+                "FUSE_METHOD": "SUM"}
+
+    w = width
+    cfg = {"MODEL": {
+        "NUM_JOINTS": num_joints,
+        "INIT_WEIGHTS": False,
+        "EXTRA": {
+            "FINAL_CONV_KERNEL": 1,
+            "PRETRAINED_LAYERS": ["*"],
+            "STAGE2": stage(1, 2, [4, 4], [w, 2 * w]),
+            "STAGE3": stage(4, 3, [4, 4, 4], [w, 2 * w, 4 * w]),
+            "STAGE4": stage(3, 4, [4, 4, 4, 4], [w, 2 * w, 4 * w, 8 * w]),
+        },
+    }}
+    return mod.get_hrnet(cfg, is_train=True)
+
+
+def load_reference_model(name: str, num_joints: int = 21):
+    """name: 'resnetN' or 'hrnet_wN' (mirrors models.get_model)."""
+    if name.startswith("resnet"):
+        return load_reference_pose_net(int(name[len("resnet"):]), num_joints)
+    if name.startswith("hrnet_w"):
+        return load_reference_hrnet(int(name[len("hrnet_w"):]), num_joints)
+    raise ValueError(f"unknown model {name!r}")
+
+
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
@@ -70,9 +110,12 @@ def main(argv=None) -> int:
     p.add_argument("--bs", type=int, default=32)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--layers", type=int, default=18)
+    p.add_argument("--model", default=None,
+                   help="resnetN | hrnet_wN (overrides --layers)")
     p.add_argument("--seed", type=int, default=9001)
     p.add_argument("--out", default="parity_torch.json")
     a = p.parse_args(argv)
+    model_name = a.model or f"resnet{a.layers}"
 
     import torch
 
@@ -112,7 +155,7 @@ def main(argv=None) -> int:
         return (np.transpose(x, (0, 3, 1, 2)),
                 np.stack(joints).astype(np.float32))
 
-    model = load_reference_pose_net(a.layers, 21)
+    model = load_reference_model(model_name, 21)
     model.train()
     opt = torch.optim.Adam(model.parameters(), lr=a.lr)
     sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=a.epochs)
@@ -167,7 +210,8 @@ def main(argv=None) -> int:
               flush=True)
 
     result = {
-        "framework": "torch-reference (pose_resnet.py run in-place)",
+        "framework": f"torch-reference ({model_name} run in-place)",
+        "model": model_name,
         "config": vars(a),
         "final": history[-1],
         "best_epe_px": min(h["val_epe_px"] for h in history),
