@@ -34,20 +34,26 @@ SIZE = 256
 WARMUP = 2
 MEASURE = 8        # dispatches; = MEASURE * SCAN_STEPS optimizer steps
 
-# BASELINE.md configs beyond the headline (run with --all):
-#   SimpleBaseline(resnet50)@256 and HRNet-W48@256 at their own batch sweet
-#   spots. Values land in BENCH_TABLE.json; the headline line stays the
-#   driver contract.
+# BASELINE.md configs beyond the headline (run with --all). Covers all 5
+# BASELINE.json "configs" rows: (1) SimpleBaseline@224 at the reference
+# bs32 and at the TPU-optimal batch, (2) the headline (main run below),
+# (3) SimpleBaseline@256, (4) HRNet-W48@256, (5) the multi-dataset mix
+# route = per-sample hm_max target dispatch (registry.py mix), which
+# falls back to the jnp preprocess chain by design. Values land in
+# BENCH_TABLE.json; the headline line stays the driver contract.
 EXTRA_CONFIGS = [
-    ("simplebaseline", 256, 256, "bf16"),
-    ("hrnet_w48", 64, 256, "bf16"),
-    ("hrnet_w32", 128, 256, "all_bf16"),
+    ("simplebaseline", 256, 256, "bf16", "msra"),
+    ("simplebaseline", 32, 224, "bf16", "msra"),
+    ("simplebaseline", 256, 224, "bf16", "msra"),
+    ("hrnet_w48", 64, 256, "bf16", "msra"),
+    ("hrnet_w32", 128, 256, "all_bf16", "msra"),
+    ("simplebaseline", 256, 256, "bf16", "per_sample"),
 ]
 
 
 def measure(model_name: str, batch: int, size: int,
             precision: str = "bf16", scan_steps: int = SCAN_STEPS,
-            measure: int = MEASURE) -> float:
+            measure: int = MEASURE, target_style: str = "msra") -> float:
     from lighthand_tpu.core.dtypes import DTypePolicy
     from lighthand_tpu.core.prng import cpu_prng_key, host_split
     from lighthand_tpu.core.mesh import (
@@ -69,7 +75,8 @@ def measure(model_name: str, batch: int, size: int,
                                input_shape=(1, size, size, 3), lr=1e-3)
     state = jax.device_put(state, replicated_sharding(mesh))
     step = make_fused_train_step(heatmap_size=size // 4, stride=4.0,
-                                 jitter=True, scan_steps=scan_steps)
+                                 jitter=True, scan_steps=scan_steps,
+                                 target_style=target_style)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -90,6 +97,11 @@ def measure(model_name: str, batch: int, size: int,
         "aug_enabled": shard(np.ones((scan_steps, batch), np.float32)),
         "noise_enabled": shard(np.zeros((scan_steps, batch), np.float32)),
     }
+    if target_style == "per_sample":
+        # mix route: half the batch uses max-combine targets (hm_max=1)
+        batch_d["hm_max"] = shard(
+            (rng.uniform(size=(scan_steps, batch)) < 0.5)
+            .astype(np.float32))
     key = cpu_prng_key(1)
 
     for _ in range(WARMUP):
@@ -129,9 +141,12 @@ def main() -> None:
 
     if "--all" in sys.argv:
         table = {}
-        for model_name, batch, size, precision in EXTRA_CONFIGS:
-            ips = measure(model_name, batch, size, precision)
+        for model_name, batch, size, precision, style in EXTRA_CONFIGS:
+            ips = measure(model_name, batch, size, precision,
+                          target_style=style)
             key = f"{model_name}@{size} bs{batch} {precision}"
+            if style != "msra":
+                key += f" {style}(mix)"
             table[key] = round(ips, 2)
             print(f"# {key}: {ips:.2f} img/s/chip", flush=True)
         with open("BENCH_TABLE.json", "w") as f:

@@ -98,12 +98,80 @@ def write_armo_tree(root: str, n: int, seed: int, size: int = 256,
     return anno_path
 
 
+def write_freihand_tsv_tree(root: str, n: int, seed: int,
+                            n_shards: int = 2, size: int = 224,
+                            log_every: int = 2000) -> str:
+    """FreiHAND-format TSV tree: base64-JPEG img TSV shards + label TSV
+    (center/scale/2d_joints/3d_joints MANO-era annotation rows) + hw TSV
+    + yaml descriptor — the exact storage format
+    frei_dataloader.py:49-107 consumes. Shards exercise concat_tsv_files."""
+    from lighthand_tpu.data.tsv import (
+        concat_tsv_files, img_to_base64, tsv_writer,
+    )
+    import yaml
+
+    out = os.path.join(root, "freihand_synth")
+    os.makedirs(out, exist_ok=True)
+    per = (n + n_shards - 1) // n_shards
+    shard_paths = {"img": [], "label": [], "hw": []}
+    t0 = time.time()
+    done = 0
+    for s in range(n_shards):
+        img_rows, label_rows, hw_rows = [], [], []
+        for i in range(s * per, min((s + 1) * per, n)):
+            rng = np.random.default_rng(seed * 3_000_017 + i)
+            joints = synth_hand_joints(rng, size)
+            img = render_hand(joints, rng, size)
+            key = f"img{i}"
+            bgr = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+            img_rows.append([key, img_to_base64(bgr)])
+            j3 = np.concatenate(
+                [joints / size - 0.5,
+                 rng.normal(size=(21, 1)).astype(np.float32)], axis=1)
+            anno = {
+                "center": [size / 2.0, size / 2.0],
+                "scale": size / 200.0,  # 200*scale box == full image
+                "has_2d_joints": 1,
+                "has_3d_joints": 1,
+                "2d_joints": np.concatenate(
+                    [joints, np.ones((21, 1), np.float32)],
+                    axis=1).tolist(),
+                "3d_joints": np.concatenate(
+                    [j3, np.ones((21, 1), np.float32)], axis=1).tolist(),
+                "has_smpl": 0,
+                "pose": np.zeros(72).tolist(),
+                "betas": np.zeros(10).tolist(),
+            }
+            label_rows.append([key, json.dumps([anno])])
+            hw_rows.append([key, json.dumps([{"height": size,
+                                              "width": size}])])
+            done += 1
+            if log_every and done % log_every == 0:
+                print(f"  frei: {done}/{n} "
+                      f"({done / (time.time() - t0):.0f} img/s)", flush=True)
+        for kind, rows in (("img", img_rows), ("label", label_rows),
+                           ("hw", hw_rows)):
+            path = os.path.join(out, f"shard{s}.{kind}.tsv")
+            tsv_writer(rows, path)
+            shard_paths[kind].append(path)
+    for kind in ("img", "label", "hw"):
+        concat_tsv_files(shard_paths[kind],
+                         os.path.join(out, f"train.{kind}.tsv"))
+    desc = {"img": "train.img.tsv", "label": "train.label.tsv",
+            "hw": "train.hw.tsv"}
+    ypath = os.path.join(out, "train.yaml")
+    with open(ypath, "w") as f:
+        yaml.safe_dump(desc, f)
+    return ypath
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--out", required=True)
     p.add_argument("--n-train", type=int, default=20000)
     p.add_argument("--n-eval", type=int, default=2000)
     p.add_argument("--n-armo", type=int, default=971)
+    p.add_argument("--n-frei", type=int, default=0)
     p.add_argument("--seed", type=int, default=9001)
     a = p.parse_args(argv)
 
@@ -114,6 +182,9 @@ def main(argv=None) -> int:
         write_lighthand_tree(a.out, "eval", a.n_eval, a.seed + 77)
     if a.n_armo:
         write_armo_tree(a.out, a.n_armo, a.seed + 555)
+    if a.n_frei:
+        y = write_freihand_tsv_tree(a.out, a.n_frei, a.seed + 999)
+        print(f"frei yaml: {y}", flush=True)
     print("done", flush=True)
     return 0
 

@@ -166,6 +166,11 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
                         help="train on generated data (smoke tests / bench)")
     parser.add_argument("--dataset-root", dest="dataset_root",
                         default="../../dataset", type=str)
+    parser.add_argument("--train_yaml", dest="train_yaml", default=None,
+                        type=str,
+                        help="FreiHAND TSV yaml descriptor (the reference "
+                             "pins this in pre_argparser.py:17; a flag "
+                             "here so trees can live anywhere)")
     parser.add_argument("--num-workers", dest="num_workers", default=8,
                         type=int)
     parser.add_argument("--yes", action="store_true",
@@ -201,6 +206,7 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
             batch_size=a.batch_size,
             num_workers=a.num_workers,
             synthetic=a.synthetic,
+            **({"train_yaml": a.train_yaml} if a.train_yaml else {}),
         ),
         model=ModelConfig(name=a.model, precision=a.precision),
         train=TrainConfig(

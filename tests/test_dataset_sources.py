@@ -208,3 +208,23 @@ def test_interhand_dataset(fake_interhand):
     assert s.image.shape == (256, 256, 3)
     assert s.joints.shape == (21, 2)
     assert np.isfinite(s.joints).all()
+
+
+def test_synth_freihand_tsv_tree(tmp_path):
+    """The generated FreiHAND-format TSV tree (sharded + concatenated via
+    concat_tsv_files) loads through FreiHandTSVDataset end to end."""
+    from lighthand_tpu.cli.make_synth_data import write_freihand_tsv_tree
+    from lighthand_tpu.data.freihand import FreiHandTSVDataset
+
+    yaml_path = write_freihand_tsv_tree(str(tmp_path), n=5, seed=3,
+                                        n_shards=2, log_every=0)
+    ds = FreiHandTSVDataset(yaml_path, is_train=True, image_size=224)
+    assert len(ds) == 5
+    s = ds[0]
+    assert s.image.shape == (224, 224, 3)
+    assert s.joints.shape[0] == 21
+    assert s.noise_enabled and not s.aug_enabled
+    # eval mode: identity-ish crop keeps joints in-frame
+    ds_eval = FreiHandTSVDataset(yaml_path, is_train=False, image_size=224)
+    j = ds_eval[1].joints
+    assert (j[:, :2] >= -20).all() and (j[:, :2] <= 244).all()

@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_workload(model_name: str, batch: int, size: int, out_dir: str,
-                 steps: int = 6, precision: str = "bf16") -> None:
+                 steps: int = 6, precision: str = "bf16",
+                 scan_steps: int = 4) -> None:
     import jax
     import numpy as np
 
@@ -50,24 +51,29 @@ def run_workload(model_name: str, batch: int, size: int, out_dir: str,
     state = create_train_state(model, cpu_prng_key(0),
                                input_shape=(1, size, size, 3), lr=1e-3)
     state = jax.device_put(state, replicated_sharding(mesh))
+    # scan_steps=4 matches the bench headline dispatch exactly (and reuses
+    # its compilation cache entry — the scan1 graph is a separate
+    # minutes-long remote compile for no extra information).
     step = make_fused_train_step(heatmap_size=size // 4, stride=4.0,
-                                 jitter=True, scan_steps=1)
+                                 jitter=True, scan_steps=scan_steps)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rng = np.random.default_rng(0)
+    lead = (scan_steps, batch) if scan_steps > 1 else (batch,)
 
     def shard(x):
-        return jax.device_put(x, NamedSharding(
-            mesh, P("data", *([None] * (x.ndim - 1)))))
+        spec = (P(None, "data", *([None] * (x.ndim - 2)))
+                if scan_steps > 1 else P("data", *([None] * (x.ndim - 1))))
+        return jax.device_put(x, NamedSharding(mesh, spec))
 
     batch_d = {
-        "image_u8": shard(rng.integers(0, 255, size=(batch, size, size, 3),
+        "image_u8": shard(rng.integers(0, 255, size=lead + (size, size, 3),
                                        dtype=np.uint8)),
-        "joints": shard(rng.uniform(16, size - 16, size=(batch, 21, 2))
+        "joints": shard(rng.uniform(16, size - 16, size=lead + (21, 2))
                         .astype(np.float32)),
-        "aug_enabled": shard(np.ones(batch, np.float32)),
-        "noise_enabled": shard(np.zeros(batch, np.float32)),
+        "aug_enabled": shard(np.ones(lead, np.float32)),
+        "noise_enabled": shard(np.zeros(lead, np.float32)),
     }
     key = cpu_prng_key(1)
     for _ in range(3):  # warmup/compile outside the trace
@@ -147,12 +153,14 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--steps", type=int, default=6)
+    p.add_argument("--scan", type=int, default=4)
     p.add_argument("--precision", default="bf16")
     p.add_argument("--out", default="/tmp/lh_trace")
     p.add_argument("--parse-only", action="store_true")
     a = p.parse_args(argv)
     if not a.parse_only:
-        run_workload(a.model, a.batch, a.size, a.out, a.steps, a.precision)
+        run_workload(a.model, a.batch, a.size, a.out, a.steps, a.precision,
+                     a.scan)
     summarize(a.out)
     return 0
 
