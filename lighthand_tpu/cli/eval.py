@@ -105,7 +105,8 @@ def main(argv=None) -> int:
             pred_store(loader, lambda im: predict_step(state, im)[0],
                        out_json, preprocess=preprocess,
                        rng_key=cpu_prng_key(1),
-                       overlay_dir=overlay_dir)
+                       overlay_dir=overlay_dir,
+                       overlay_max=cfg.eval.plt_max)
         stores.append((out_json, run_name))
 
     from lighthand_tpu.core.mesh import is_host_leader

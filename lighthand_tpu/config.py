@@ -80,6 +80,8 @@ class EvalConfig:
     eval: bool = False
     test: bool = False
     plt: bool = False
+    plt_max: int | None = None   # cap on --plt overlays (None = all,
+    # the reference behavior; TPU extension for 1-core hosts)
     compat_mean_epe: bool = True   # replicate pred_eval's zeros-padded
     # total_epe init (argparser.py:345) — see eval/harness.py
 
@@ -148,6 +150,9 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
     # alters a log string, train.py:43).
     parser.add_argument("--scale", action="store_true")
     parser.add_argument("--plt", action="store_true")
+    parser.add_argument("--plt_max", type=int, default=None,
+                        help="cap --plt overlays (default: every sample,"
+                             " as the reference writes)")
     parser.add_argument("--transfer", action="store_true")
     parser.add_argument("--eval", action="store_true")
     parser.add_argument("--test", action="store_true")
@@ -223,6 +228,7 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
             rot_aug=a.rot_aug,
             trace=a.trace,
         ),
-        eval=EvalConfig(eval=a.eval, test=a.test, plt=a.plt),
+        eval=EvalConfig(eval=a.eval, test=a.test, plt=a.plt,
+                        plt_max=a.plt_max),
     )
     return cfg.finalize()

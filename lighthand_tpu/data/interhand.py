@@ -22,17 +22,50 @@ INTERHAND_TO_OURS = (20, 3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13,
                      12, 19, 18, 17, 16)
 
 
-def process_bbox(bbox, img_shape, expand: float = 1.25):
-    """Aspect-preserving bbox expansion (reference preprocessing.py:183-210,
-    simplified: expand around center, clip to the image)."""
-    x, y, w, h = bbox
-    cx, cy = x + w / 2, y + h / 2
-    side = max(w, h) * expand
-    x0 = max(cx - side / 2, 0)
-    y0 = max(cy - side / 2, 0)
-    x1 = min(cx + side / 2, img_shape[1])
-    y1 = min(cy + side / 2, img_shape[0])
-    return np.array([x0, y0, x1 - x0, y1 - y0], np.float32)
+def process_bbox(bbox, img_shape, aspect_ratio: float = 1.0,
+                 expand: float = 1.25):
+    """Aspect-ratio-preserving bbox expansion, exact reference math
+    (src/utils/preprocessing.py:125-142): grow the short side to the
+    network input's aspect ratio (input_img_shape is square -> 1.0), then
+    scale both sides by 1.25 about the center.  NOT clipped to the image
+    — the crop-time context-padding logic clamps instead
+    (dataset_loader.py:210-218, here ``_context_crop``)."""
+    x, y, w, h = [float(v) for v in bbox]
+    c_x, c_y = x + w / 2.0, y + h / 2.0
+    if w > aspect_ratio * h:
+        h = w / aspect_ratio
+    elif w < aspect_ratio * h:
+        w = h * aspect_ratio
+    w, h = w * expand, h * expand
+    return np.array([c_x - w / 2.0, c_y - h / 2.0, w, h], np.float32)
+
+
+def _context_crop(img, bbox, context: int = 224):
+    """Crop with symmetric context padding toward a ``context``-px square,
+    bit-exact with the reference (dataset_loader.py:203-223) including its
+    int truncations and edge clamps: each side gains (context - side)/2,
+    clamped to the image; a side larger than ``context`` gains negative
+    space, i.e. is shrunk.  Returns the crop plus the (int bbox, space_l,
+    space_r) the joint transform needs."""
+    h_img, w_img = img.shape[:2]
+    b = [int(v) for v in bbox]
+    if b[1] < 0:
+        b[1] = 0
+    if b[0] < 0:
+        b[0] = 0
+    space_l = int(context - b[3]) / 2.0
+    space_r = int(context - b[2]) / 2.0
+    if b[1] - space_l < 0:
+        space_l = b[1]
+    if b[1] + b[3] + space_l > h_img:
+        space_l = h_img - (b[1] + b[3]) - 1
+    if b[0] - space_r < 0:
+        space_r = b[0]
+    if b[0] + b[2] + space_r > w_img:
+        space_r = w_img - (b[0] + b[2]) - 1
+    crop = img[int(b[1] - space_l):int(b[1] + b[3] + space_l),
+               int(b[0] - space_r):int(b[0] + b[2] + space_r)]
+    return crop, b, space_l, space_r
 
 
 class InterHandDataset(Source):
@@ -80,14 +113,18 @@ class InterHandDataset(Source):
         return len(self.datalist)
 
     def __getitem__(self, idx: int) -> Sample:
+        # Exact reference crop/joint chain (dataset_loader.py:203-236).
+        # The reference scales joints by ori/(side+2*space) and then by
+        # image_size/ori — the ori factors cancel, leaving
+        # (j - b + space) * image_size / (side + 2*space), used directly.
         rec = self.datalist[idx]
         img = _imread_rgb(rec["img_file"])
-        x, y, w, h = [int(v) for v in rec["bbox"]]
-        x, y = max(x, 0), max(y, 0)
-        crop = img[y:y + max(h, 1), x:x + max(w, 1)]
+        crop, b, space_l, space_r = _context_crop(img, rec["bbox"])
         joints = rec["joint_px"].copy()
-        joints[:, 0] = (joints[:, 0] - x) / max(crop.shape[1], 1)
-        joints[:, 1] = (joints[:, 1] - y) / max(crop.shape[0], 1)
-        joints = joints[list(INTERHAND_TO_OURS), :2] * self.image_size
+        joints[:, 0] = (joints[:, 0] - b[0] + space_r) \
+            * (self.image_size / (b[2] + 2.0 * space_r))
+        joints[:, 1] = (joints[:, 1] - b[1] + space_l) \
+            * (self.image_size / (b[3] + 2.0 * space_l))
+        joints = joints[list(INTERHAND_TO_OURS), :2]
         return Sample(image=_resize(crop, self.image_size),
                       joints=joints.astype(np.float32))

@@ -80,14 +80,18 @@ def _gather_rows(tree: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 def pred_store(loader, predict_fn, out_path: str,
                preprocess=None, rng_key=None,
-               overlay_dir: str | None = None) -> Dict:
+               overlay_dir: str | None = None,
+               overlay_max: int | None = None) -> Dict:
     """Run inference over the (Armo) eval loader and bucket
     {bbox_diag, pred, gt} per pose category (argparser.py:246-281).
 
     ``predict_fn(images) -> pred_joints [B,21,2]`` (already x4 to image
     space). ``loader`` yields device batches with joints [B,21,3] and meta
     categories list. ``overlay_dir`` saves GT/pred overlays per sample
-    (the reference's --plt path, argparser.py:304-309).
+    (the reference's --plt path, argparser.py:304-309); ``overlay_max``
+    caps how many are written (None = every sample, the reference
+    behavior — ~1k matplotlib JPEGs on the Armo set, which is slow on a
+    1-core host; ``--plt_max N`` keeps the first N).
 
     Multi-process: each host accumulates its local rows; the blocks are
     all-gathered at the end so every host returns the full store.
@@ -125,9 +129,10 @@ def pred_store(loader, predict_fn, out_path: str,
                 imgs = _local_rows(images)
                 for i in range(gt.shape[0]):
                     if valid[i]:
-                        save_overlay(
-                            imgs[i].astype(np.float32), gt[i], pred[i],
-                            overlay_dir, "eval", 0, sample_idx)
+                        if overlay_max is None or sample_idx < overlay_max:
+                            save_overlay(
+                                imgs[i].astype(np.float32), gt[i], pred[i],
+                                overlay_dir, "eval", 0, sample_idx)
                         sample_idx += 1
 
     rows = _gather_rows({

@@ -183,10 +183,14 @@ def fake_interhand(tmp_path, rng):
         images.append({"id": i, "file_name": fn, "width": 320,
                        "height": 320, "capture": 0, "camera": "4",
                        "frame_idx": i, "seq_name": "s"})
+        # Three bboxes covering _context_crop's branches: interior
+        # (plain space padding), corner-clamped, and oversized
+        # (negative space -> shrink to the 224 context).
+        bboxes = [[100, 100, 120, 120], [0, 250, 60, 60], [10, 10, 300, 200]]
         annotations.append({"id": i, "image_id": i, "hand_type": "right",
                             "hand_type_valid": 1,
                             "joint_valid": [1] * 42,
-                            "bbox": [100, 100, 120, 120]})
+                            "bbox": bboxes[i]})
         world = rng.uniform(-40, 40, size=(42, 3))
         world[:, 2] = 0.0
         joints3d["0"][str(i)] = {"world_coord": world.tolist()}
@@ -208,6 +212,62 @@ def test_interhand_dataset(fake_interhand):
     assert s.image.shape == (256, 256, 3)
     assert s.joints.shape == (21, 2)
     assert np.isfinite(s.joints).all()
+
+
+def test_interhand_crop_matches_reference_math(fake_interhand):
+    """Joint coordinates match an independent transcription of the
+    reference chain (preprocessing.py:125-142 process_bbox +
+    dataset_loader.py:203-236 context crop / joint scale) bit-for-bit on
+    all three _context_crop branches."""
+    import json as _json
+
+    from lighthand_tpu.data.interhand import InterHandDataset
+
+    base = os.path.join(fake_interhand, "InterHand2.6M_5fps_batch1",
+                        "annotations", "val")
+    with open(os.path.join(base, "InterHand2.6M_val_data.json")) as f:
+        db = _json.load(f)
+    with open(os.path.join(base, "InterHand2.6M_val_joint_3d.json")) as f:
+        j3d = _json.load(f)
+
+    ds = InterHandDataset(fake_interhand, "val", image_size=256)
+    order = (20, 3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12,
+             19, 18, 17, 16)
+    for i, ann in enumerate(db["annotations"]):
+        # Reference-transcribed oracle, written against the upstream source
+        # (not this repo's implementation).  Camera: identity rot, campos
+        # (0,0,-500), focal 600, princpt 160 (the fixture's values).
+        world = np.asarray(j3d["0"][str(i)]["world_coord"], np.float32)
+        cam = world - np.array([0.0, 0.0, -500.0], np.float32)
+        px = cam[:, :2] / cam[:, 2:3] * 600.0 + 160.0
+        x, y, w, h = [float(v) for v in ann["bbox"]]
+        c_x, c_y = x + w / 2.0, y + h / 2.0
+        if w > h:
+            h = w
+        elif w < h:
+            w = h
+        w, h = w * 1.25, h * 1.25
+        bbox = np.array([c_x - w / 2.0, c_y - h / 2.0, w, h], np.float32)
+        b = list(map(int, bbox))
+        b[0], b[1] = max(b[0], 0), max(b[1], 0)
+        sl, sr = int(224 - b[3]) / 2, int(224 - b[2]) / 2
+        if b[1] - sl < 0:
+            sl = b[1]
+        if b[1] + b[3] + sl > 320:
+            sl = 320 - (b[1] + b[3]) - 1
+        if b[0] - sr < 0:
+            sr = b[0]
+        if b[0] + b[2] + sr > 320:
+            sr = 320 - (b[0] + b[2]) - 1
+        jx = (px[:, 0] - b[0] + sr) * (256.0 / (b[2] + 2 * sr))
+        jy = (px[:, 1] - b[1] + sl) * (256.0 / (b[3] + 2 * sl))
+        expect = np.stack([jx, jy], 1)[list(order)]
+        got = ds[i].joints
+        np.testing.assert_allclose(got, expect, rtol=0, atol=1e-3)
+        crop_h = int(b[1] + b[3] + sl) - int(b[1] - sl)
+        crop_w = int(b[0] + b[2] + sr) - int(b[0] - sr)
+        assert crop_h > 0 and crop_w > 0
+        assert ds[i].image.shape == (256, 256, 3)
 
 
 def test_synth_freihand_tsv_tree(tmp_path):

@@ -28,7 +28,15 @@ def main(argv=None) -> int:
     p.add_argument("--layers", type=int, default=18)
     p.add_argument("--model", default=None,
                    help="resnetN | hrnet_wN (overrides --layers)")
+    p.add_argument("--n-val", type=int, default=None,
+                   help="evaluate only the first N val samples (matches "
+                        "parity_torch's --n-val 512 protocol exactly)")
     p.add_argument("--seed", type=int, default=9001)
+    p.add_argument("--init-from-torch", action="store_true",
+                   help="replace the Flax init with a transplant of the "
+                        "reference torch model's init at torch.manual_seed("
+                        "seed) — removes init-draw variance from the "
+                        "head-to-head (utils/torch_port.py)")
     p.add_argument("--precision", default="f32")
     p.add_argument("--out", default="parity_ours.json")
     p.add_argument("--run-dir", default="output/parity_ours")
@@ -58,6 +66,44 @@ def main(argv=None) -> int:
     cfg.tensorboard_dir = os.path.join(a.run_dir, "tb")
 
     trainer = Trainer(cfg)
+    if a.init_from_torch:
+        import numpy as _np
+        import torch
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from parity_torch import load_reference_model
+
+        from lighthand_tpu.utils.torch_port import (
+            pose_hrnet_from_torch,
+            pose_resnet_from_torch,
+        )
+
+        torch.manual_seed(a.seed)
+        tm = load_reference_model(model_name, 21)
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        if model_name.startswith("hrnet_w"):
+            from lighthand_tpu.models.hrnet import HRNetCfg
+            variables = pose_hrnet_from_torch(
+                sd, cfg=HRNetCfg.from_width(int(model_name[len("hrnet_w"):])))
+        else:
+            variables = pose_resnet_from_torch(
+                sd, num_layers=int(model_name[len("resnet"):]))
+        import jax
+
+        def _cast_like(new, old):
+            return jax.tree.map(
+                lambda n, o: _np.asarray(n, dtype=o.dtype), new, old)
+
+        trainer.state = trainer.state.replace(
+            params=_cast_like(variables["params"], trainer.state.params),
+            batch_stats=_cast_like(variables["batch_stats"],
+                                   trainer.state.batch_stats))
+        print("[ours] initialized from torch transplant "
+              f"(manual_seed={a.seed})", flush=True)
+    if a.n_val is not None:
+        from lighthand_tpu.data.records import SubsetSource
+        trainer.val_src = SubsetSource(
+            trainer.val_src, list(range(min(a.n_val, len(trainer.val_src)))))
     train_loader, val_loader = trainer.make_loaders()
     history = []
     from lighthand_tpu.train.state import cosine_lr, set_learning_rate
