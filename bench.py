@@ -139,8 +139,12 @@ def main() -> None:
 
     enable_compilation_cache()
 
+    ips_per_chip = measure("hrnet_w32", BATCH, SIZE, "bf16")
+
     if "--all" in sys.argv:
-        table = {}
+        table = {f"hrnet_w32@{SIZE} bs{BATCH} bf16": round(ips_per_chip, 2)}
+        print(f"# hrnet_w32@{SIZE} bs{BATCH} bf16 (headline): "
+              f"{ips_per_chip:.2f} img/s/chip", flush=True)
         for model_name, batch, size, precision, style in EXTRA_CONFIGS:
             ips = measure(model_name, batch, size, precision,
                           target_style=style)
@@ -151,8 +155,6 @@ def main() -> None:
             print(f"# {key}: {ips:.2f} img/s/chip", flush=True)
         with open("BENCH_TABLE.json", "w") as f:
             json.dump(table, f, indent=1)
-
-    ips_per_chip = measure("hrnet_w32", BATCH, SIZE, "bf16")
     print(json.dumps({
         "metric": f"train images/sec/chip (HRNet-W32@256^2, bs{BATCH}, "
                   f"bf16, scan{SCAN_STEPS}, incl. on-device "

@@ -58,11 +58,18 @@ def main(argv=None) -> int:
     mesh = create_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.model))
     _, eval_src = build_dataset(cfg)
 
-    model_path = os.path.join("output", cfg.name.split("/")[0], "frei") \
-        if os.path.isdir(os.path.join("output", cfg.name.split("/")[0],
-                                      "frei")) \
-        else cfg.output_dir
-    ckpts = find_checkpoints(model_path) or find_checkpoints(cfg.root_path)
+    # The reference walks the hardcoded frei train tree
+    # (wearable_eval_2d.py:32: model_path = "output/simplebaseline/frei").
+    # We prefer the exact run the user named when it has checkpoints (so
+    # `--root simplebaseline/ours --name X --eval` re-evaluates run X even
+    # when a frei tree exists), then fall back to the reference's
+    # output/<model>/frei walk, then the whole root.
+    frei_tree = os.path.join("output", cfg.name.split("/")[0], "frei")
+    ckpts = (find_checkpoints(cfg.output_dir)
+             or (find_checkpoints(frei_tree)
+                 if os.path.isdir(frei_tree) else [])
+             or find_checkpoints(cfg.root_path))
+    model_path = cfg.output_dir
     if not ckpts:
         print(f"no checkpoints under {model_path}", file=sys.stderr)
         return 1

@@ -141,9 +141,15 @@ class FreiHandTSVDataset(Source):
         # Crop: one inverse affine warp instead of pad/rotate/unpad/resize.
         res = (self.crop_res, self.crop_res)
         mat = crop_transform_matrix(center, sc * scale, res, rot=rot)
+        # mat is OUTPUT->INPUT (crop_transform_matrix inverts get_transform
+        # for inverse warps); cv2.warpAffine expects a FORWARD matrix unless
+        # WARP_INVERSE_MAP is set. Without the flag cv2 re-inverts it,
+        # warping the image by the OPPOSITE rotation / reciprocal scale of
+        # what the keypoints get — every rot-augmented sample then carries
+        # garbage labels (regression: test_frei_rot_aug_image_joint_consistency).
         crop = cv2.warpAffine(
             img, mat[:2].astype(np.float64), res,
-            flags=cv2.INTER_LINEAR, borderValue=0,
+            flags=cv2.INTER_LINEAR | cv2.WARP_INVERSE_MAP, borderValue=0,
         )
         if self.image_size != self.crop_res:
             crop = cv2.resize(crop, (self.image_size, self.image_size),

@@ -288,3 +288,40 @@ def test_synth_freihand_tsv_tree(tmp_path):
     ds_eval = FreiHandTSVDataset(yaml_path, is_train=False, image_size=224)
     j = ds_eval[1].joints
     assert (j[:, :2] >= -20).all() and (j[:, :2] <= 244).all()
+
+
+def test_frei_rot_aug_image_joint_consistency(tmp_path):
+    """Rotation/scale-augmented frei samples keep image and keypoints in the
+    SAME frame (regression: crop_transform_matrix is OUTPUT->INPUT, so the
+    cv2.warpAffine call needs WARP_INVERSE_MAP; without it the image gets
+    the opposite rotation / reciprocal scale of the joints and 40% of train
+    labels are garbage). Checks the intensity centroid of the rendered hand
+    against the centroid of the stored joints, decompressed from the
+    reference's (kp_norm*100+112) target frame back to crop pixels."""
+    from lighthand_tpu.cli.make_synth_data import write_freihand_tsv_tree
+    from lighthand_tpu.data.freihand import FreiHandTSVDataset
+
+    yaml_path = write_freihand_tsv_tree(str(tmp_path), n=10, seed=3,
+                                        n_shards=1, log_every=0)
+    ds = FreiHandTSVDataset(yaml_path, is_train=True, image_size=256)
+    checked_rot = 0
+    for idx in range(10):
+        rng = np.random.default_rng(ds.seed * 2_000_003 + idx)
+        rot, sc = ds._augm_params(rng)
+        s = ds[idx]
+        img = s.image.astype(np.float32).sum(axis=2)
+        # hand pixels = bright foreground over the dark noise background;
+        # threshold at the 98th percentile to isolate them
+        mask = img > np.percentile(img, 98)
+        assert mask.sum() > 50
+        ys, xs = np.nonzero(mask)
+        img_cen = np.array([xs.mean(), ys.mean()])
+        # invert target compression: j = ((2p/224-1)*100+112)*(size/224)
+        j = s.joints[:, :2] * (224.0 / 256.0)
+        p = ((j - 112.0) / 100.0 + 1.0) * 112.0 * (256.0 / 224.0)
+        joint_cen = p.mean(axis=0)
+        err = np.linalg.norm(img_cen - joint_cen)
+        assert err < 20.0, (idx, rot, sc, err)
+        if rot != 0.0:
+            checked_rot += 1
+    assert checked_rot >= 2  # seeded draws must exercise the rotated path
