@@ -73,6 +73,10 @@ class TrainConfig:
     # (TPU extension; 0 = off)
     trace: bool = False            # capture an XLA profiler trace of a few
     # steps of the first epoch into {output_dir}/trace
+    stall_timeout_s: float = 900.0  # exit(86) if no train/val progress for
+    # this long (single-tenant tunnel wedge guard, train/watchdog.py);
+    # 0 disables. Arms only after the first completed dispatch, so the
+    # minutes-long first remote compile never counts.
 
 
 @dataclasses.dataclass
@@ -193,6 +197,11 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
     parser.add_argument("--trace", action="store_true",
                         help="profile a few steps of the first epoch into "
                              "{output_dir}/trace (TensorBoard-loadable)")
+    parser.add_argument("--stall-timeout", dest="stall_timeout_s",
+                        default=900.0, type=float,
+                        help="exit(86) if no training progress for this "
+                             "many seconds — wedged-tunnel guard "
+                             "(0 disables)")
 
     a = parser.parse_args(argv)
 
@@ -227,6 +236,7 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
             flip=a.flip,
             rot_aug=a.rot_aug,
             trace=a.trace,
+            stall_timeout_s=a.stall_timeout_s,
         ),
         eval=EvalConfig(eval=a.eval, test=a.test, plt=a.plt,
                         plt_max=a.plt_max),

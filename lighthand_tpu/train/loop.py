@@ -164,6 +164,13 @@ class Trainer:
             jitter=False, out_dtype=self.policy.compute_dtype)  # eval path
         self.writer = ScalarWriter(cfg.tensorboard_dir,
                                    jsonl_dir=cfg.output_dir)
+        from lighthand_tpu.train.watchdog import StallWatchdog
+
+        # wedged-tunnel guard: exit(86) if no completed dispatch for
+        # stall_timeout_s (arms at the first heartbeat, so the minutes-long
+        # first remote compile never counts; 0 disables)
+        self.watchdog = StallWatchdog(cfg.train.stall_timeout_s,
+                                      logger=self.logger)
 
     # -- checkpoint / reset / transfer wiring (argparser.py:103-191) --------
 
@@ -268,6 +275,7 @@ class Trainer:
             # read losses one dispatch late: keeps the pipeline full
             pending.append((metrics["loss"], k * bsz))
             drain(1)
+            self.watchdog.heartbeat()  # a completed loss read = progress
             timer.tick()
             if it % cfg.train.logging_steps == 0:
                 bar.suffix = (f"loss: {losses.avg:.6f} | count: {self.count}"
@@ -339,6 +347,7 @@ class Trainer:
             losses.update_p(float(m["loss_sum"]), float(m["n_valid"]))
             pcks.update_p(float(m["pck_sum"]), float(m["pck_count"]))
             epes.update_p(float(m["epe_sum"]), float(m["epe_count"]))
+            self.watchdog.heartbeat()
             if self.cfg.train.visualize and it in vis_iters:
                 self._save_overlay(images, batch["joints"],
                                    m["pred_joints"], "val", epoch, it)
@@ -378,26 +387,32 @@ class Trainer:
             f" | Max_epoch: {cfg.train.epochs}", "yellow"))
 
         last = EpochResult(float("nan"), float("nan"), 0.0, 0.0, 0.0)
-        for epoch in range(self.start_epoch, cfg.train.epochs):
-            lr = cosine_lr(cfg.train.lr, epoch, cfg.train.epochs)
-            self.state = set_learning_rate(self.state, lr)
+        self.watchdog.start()
+        try:
+            for epoch in range(self.start_epoch, cfg.train.epochs):
+                lr = cosine_lr(cfg.train.lr, epoch, cfg.train.epochs)
+                self.state = set_learning_rate(self.state, lr)
 
-            train_loss, ips = self.run_train_epoch(train_loader, epoch)
-            val_loss, pck, epe = self.run_valid_epoch(val_loader, epoch)
-            last = EpochResult(train_loss, val_loss, pck, epe, ips)
+                train_loss, ips = self.run_train_epoch(train_loader, epoch)
+                val_loss, pck, epe = self.run_valid_epoch(val_loader, epoch)
+                last = EpochResult(train_loss, val_loss, pck, epe, ips)
 
-            is_best = val_loss < self.best_loss
-            self.best_loss = min(val_loss, self.best_loss)
-            if is_best:
-                self.count = 0
-                save_checkpoint(self.state, cfg.output_dir, epoch,
-                                self.best_loss, self.count)
-            else:
-                self.count += 1
-                if self.count == cfg.train.early_stop_count:
-                    self.logger.info(
-                        f"early stop at epoch {epoch} (count={self.count})")
-                    break
+                is_best = val_loss < self.best_loss
+                self.best_loss = min(val_loss, self.best_loss)
+                if is_best:
+                    self.count = 0
+                    save_checkpoint(self.state, cfg.output_dir, epoch,
+                                    self.best_loss, self.count)
+                    self.watchdog.heartbeat()  # orbax save blocks too
+                else:
+                    self.count += 1
+                    if self.count == cfg.train.early_stop_count:
+                        self.logger.info(
+                            f"early stop at epoch {epoch} "
+                            f"(count={self.count})")
+                        break
+        finally:
+            self.watchdog.stop()
         self.writer.close()
         return last
 

@@ -1,0 +1,110 @@
+"""Stall watchdog: bound the damage of a wedged device call.
+
+Failure mode this guards (observed on the single-tenant remote-tunnel
+TPU; SURVEY.md §5.3 failure detection): a dispatch blocks forever in a
+tcp recv mid-transfer. The training process then sleeps holding the
+single-tenant device claim, and the claim can stay stuck for over an
+hour even after the process is killed — so the earlier the process
+exits, the earlier the chip is usable again. A Python thread cannot
+interrupt a blocked PJRT call; the only safe remedy is a loud log and
+``os._exit`` once no training progress has been observed for the
+timeout. The reference has no equivalent (its failure handling is
+"restart the job by hand"); this is TPU-tunnel operational hardening.
+
+Usage::
+
+    wd = StallWatchdog(timeout_s=900, logger=logger)
+    wd.start()
+    try:
+        for step in ...:
+            ...  # blocking device work
+            wd.heartbeat()
+    finally:
+        wd.stop()
+
+The watchdog only arms at the first ``heartbeat()`` — the first
+dispatch of a process includes the (remote, possibly minutes-long)
+compile, which must not count against the stall timeout.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Callable, Optional
+
+STALL_EXIT_CODE = 86  # distinct from timeout(1)'s 124 and SIGKILL's 137
+
+
+class StallWatchdog:
+    """Exit the process if ``heartbeat()`` stops arriving.
+
+    ``on_stall`` (tests) replaces the default log-and-``os._exit``.
+    ``timeout_s <= 0`` disables the watchdog entirely (all methods
+    become no-ops), so callers can wire it unconditionally.
+    """
+
+    def __init__(self, timeout_s: float, logger=None,
+                 on_stall: Optional[Callable[[float], None]] = None,
+                 poll_s: float = 1.0):
+        self.timeout_s = float(timeout_s)
+        self.logger = logger
+        self.on_stall = on_stall
+        self.poll_s = poll_s
+        self._last: Optional[float] = None  # None until armed
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    @property
+    def enabled(self) -> bool:
+        return self.timeout_s > 0
+
+    def start(self) -> "StallWatchdog":
+        if self.enabled and self._thread is None:
+            self._thread = threading.Thread(
+                target=self._run, name="stall-watchdog", daemon=True)
+            self._thread.start()
+        return self
+
+    def heartbeat(self) -> None:
+        if self.enabled:
+            with self._lock:
+                self._last = time.monotonic()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    # internal -------------------------------------------------------------
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.poll_s):
+            with self._lock:
+                last = self._last
+            if last is None:  # not armed yet (first compile in flight)
+                continue
+            stalled = time.monotonic() - last
+            if stalled > self.timeout_s:
+                self._fire(stalled)
+                return
+
+    def _fire(self, stalled: float) -> None:
+        msg = (f"STALL WATCHDOG: no training progress for {stalled:.0f}s "
+               f"(> {self.timeout_s:.0f}s) — a device call is likely "
+               f"wedged (tunnel tcp recv). Exiting with code "
+               f"{STALL_EXIT_CODE} to release the device claim; resume "
+               f"from checkpoint-good.")
+        if self.on_stall is not None:
+            self.on_stall(stalled)
+            return
+        if self.logger is not None:
+            try:
+                self.logger.critical(msg)
+            except Exception:
+                pass
+        print(msg, flush=True)
+        os._exit(STALL_EXIT_CODE)
