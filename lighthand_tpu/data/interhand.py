@@ -22,8 +22,7 @@ INTERHAND_TO_OURS = (20, 3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13,
                      12, 19, 18, 17, 16)
 
 
-def process_bbox(bbox, img_shape, aspect_ratio: float = 1.0,
-                 expand: float = 1.25):
+def process_bbox(bbox, aspect_ratio: float = 1.0, expand: float = 1.25):
     """Aspect-ratio-preserving bbox expansion, exact reference math
     (src/utils/preprocessing.py:125-142): grow the short side to the
     network input's aspect ratio (input_img_shape is square -> 1.0), then
@@ -101,8 +100,7 @@ class InterHandDataset(Source):
             cam_xyz = (camrot @ (world - campos[None]).T).T
             px = cam_xyz[:, :2] / np.maximum(cam_xyz[:, 2:3], 1e-6) \
                 * focal[None] + princpt[None]
-            bbox = process_bbox(np.asarray(ann["bbox"], np.float32),
-                                (img["height"], img["width"]))
+            bbox = process_bbox(np.asarray(ann["bbox"], np.float32))
             self.datalist.append({
                 "img_file": op.join(self.img_path, mode, img["file_name"]),
                 "joint_px": px,

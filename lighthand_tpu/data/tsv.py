@@ -179,21 +179,31 @@ def concat_tsv_files(tsvs: Sequence[str], out_tsv: str) -> None:
 
     os.makedirs(op.dirname(op.abspath(out_tsv)), exist_ok=True)
     out_tmp = out_tsv + ".tmp"
-    with open(out_tmp, "wb") as fd:
-        for t in tsvs:
-            with open(t, "rb") as fi:
-                shutil.copyfileobj(fi, fd, 10 * 1024 * 1024)
-
-    base = 0
-    all_idx: List[str] = []
-    for t in tsvs:
-        with open(op.splitext(t)[0] + ".lineidx") as f:
-            all_idx.extend(str(int(line) + base)
-                           for line in f if line.strip())
-        base += os.stat(t).st_size
     idx_tmp = op.splitext(out_tsv)[0] + ".lineidx.tmp"
-    with open(idx_tmp, "w") as f:
-        f.write("\n".join(all_idx) + ("\n" if all_idx else ""))
+    try:
+        with open(out_tmp, "wb") as fd:
+            for t in tsvs:
+                with open(t, "rb") as fi:
+                    shutil.copyfileobj(fi, fd, 10 * 1024 * 1024)
+
+        base = 0
+        all_idx: List[str] = []
+        for t in tsvs:
+            with open(op.splitext(t)[0] + ".lineidx") as f:
+                all_idx.extend(str(int(line) + base)
+                               for line in f if line.strip())
+            base += os.stat(t).st_size
+        with open(idx_tmp, "w") as f:
+            f.write("\n".join(all_idx) + ("\n" if all_idx else ""))
+    except BaseException:
+        # don't leave half-written .tmp files behind (e.g. a shard with a
+        # missing lineidx raised after the data tmp was fully written)
+        for p in (out_tmp, idx_tmp):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        raise
     os.replace(out_tmp, out_tsv)
     os.replace(idx_tmp, op.splitext(out_tsv)[0] + ".lineidx")
 

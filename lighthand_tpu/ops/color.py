@@ -21,7 +21,11 @@ import jax.numpy as jnp
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
-_GRAY_W = jnp.array([0.299, 0.587, 0.114], dtype=jnp.float32)
+# NB: plain tuple, converted inside the (jitted) callers — a module-level
+# jnp.array would dispatch to the default backend at IMPORT time, which on
+# this box means a wedged tunnel blocks `import lighthand_tpu.cli.train`
+# itself, before any --platform override or reachability gate can run.
+_GRAY_W = (0.299, 0.587, 0.114)
 
 
 def normalize_imagenet(img: jnp.ndarray) -> jnp.ndarray:
@@ -43,12 +47,12 @@ def adjust_brightness(img: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
 
 def adjust_contrast(img: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
     # torchvision blends with the mean of the grayscale image.
-    gray_mean = jnp.mean(img @ _GRAY_W)
+    gray_mean = jnp.mean(img @ jnp.asarray(_GRAY_W, jnp.float32))
     return jnp.clip(gray_mean + factor * (img - gray_mean), 0.0, 1.0)
 
 
 def adjust_saturation(img: jnp.ndarray, factor: jnp.ndarray) -> jnp.ndarray:
-    gray = (img @ _GRAY_W)[..., None]
+    gray = (img @ jnp.asarray(_GRAY_W, jnp.float32))[..., None]
     return jnp.clip(gray + factor * (img - gray), 0.0, 1.0)
 
 

@@ -72,8 +72,15 @@ def save_checkpoint(
     best_loss: float,
     count: int,
     ment: str = "good",
+    model_info: Optional[dict] = None,
 ) -> str:
-    """Host-leader-gated best-checkpoint save (src/tools/dataset.py:345)."""
+    """Host-leader-gated best-checkpoint save (src/tools/dataset.py:345).
+
+    ``model_info`` (e.g. ``{"name": "hrnet", "precision": "bf16"}``) is
+    recorded in ``last_checkpoint.json`` so eval can recover the
+    architecture from the checkpoint itself instead of guessing from the
+    directory name (reference analogue: the name-routed factory,
+    argparser.py:103-116)."""
     path = _ckpt_path(output_dir, ment)
     if not is_host_leader():
         return path
@@ -92,9 +99,28 @@ def save_checkpoint(
     # 'last_checkpoint' file, miscellaneous.py:33-41)
     import json
 
+    marker = {"epoch": int(epoch), "path": path}
+    if model_info:
+        marker["model"] = dict(model_info)
     with open(os.path.join(output_dir, "last_checkpoint.json"), "w") as f:
-        json.dump({"epoch": int(epoch), "path": path}, f)
+        json.dump(marker, f)
     return path
+
+
+def read_model_info(checkpoint_dir: str) -> Optional[dict]:
+    """Recover the ``model_info`` recorded at save time for a checkpoint
+    directory (looks for ``last_checkpoint.json`` next to it). Returns
+    None for legacy trees saved before the field existed."""
+    import json
+
+    marker = os.path.join(os.path.dirname(os.path.abspath(checkpoint_dir)),
+                          "last_checkpoint.json")
+    try:
+        with open(marker) as f:
+            info = json.load(f).get("model")
+        return dict(info) if isinstance(info, dict) else None
+    except (OSError, ValueError):
+        return None
 
 
 def checkpoint_exists(output_dir: str, ment: str = "good") -> bool:

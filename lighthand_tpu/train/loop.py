@@ -171,6 +171,17 @@ class Trainer:
         # first remote compile never counts; 0 disables)
         self.watchdog = StallWatchdog(cfg.train.stall_timeout_s,
                                       logger=self.logger)
+        # dispatches that have compiled at least once; a first-use dispatch
+        # (eval_step at the first validation boundary, the k=1 tail step,
+        # the overlay predict step) triggers a synchronous remote compile
+        # that can exceed stall_timeout_s, so the watchdog is disarmed for
+        # exactly that call and re-armed by the completion heartbeat
+        self._compiled: set = set()
+
+    def _disarm_for_first_compile(self, name: str) -> None:
+        if name not in self._compiled:
+            self._compiled.add(name)
+            self.watchdog.disarm()
 
     # -- checkpoint / reset / transfer wiring (argparser.py:103-191) --------
 
@@ -287,11 +298,14 @@ class Trainer:
         for tail in microbatches:
             dispatch = {name: tail[name] for name in self._dispatch_fields}
             self.rng, key = self._host_split(self.rng)
+            if self.train_step_k1 is not self.train_step:
+                self._disarm_for_first_compile("train_k1")
             self.state, metrics = self.train_step_k1(self.state, key,
                                                      dispatch)
             n_images += bsz
             pending.append((metrics["loss"], bsz))
             drain(1)
+            self.watchdog.heartbeat()
         drain(0)
         trace_ctx.close()
         bar.finish()
@@ -318,6 +332,7 @@ class Trainer:
                 from lighthand_tpu.train.step import make_predict_step
 
                 self._predict_step = make_predict_step(stride=self.stride)
+            self._disarm_for_first_compile("predict")
             self.rng, key = self._host_split(self.rng)
             images = self.preprocess(
                 key, batch["image_u8"],
@@ -333,6 +348,7 @@ class Trainer:
         bar = Bar(colored(f"{epoch}_VALID", "blue"), max=len(loader))
         vis_iters = {0, len(loader) // 2, len(loader) - 1}
         for it, batch in enumerate(loader):
+            self._disarm_for_first_compile("eval")
             self.rng, key = self._host_split(self.rng)
             images = self.preprocess(
                 key, batch["image_u8"],
@@ -402,7 +418,11 @@ class Trainer:
                 if is_best:
                     self.count = 0
                     save_checkpoint(self.state, cfg.output_dir, epoch,
-                                    self.best_loss, self.count)
+                                    self.best_loss, self.count,
+                                    model_info={
+                                        "name": cfg.model.name,
+                                        "precision": cfg.model.precision,
+                                    })
                     self.watchdog.heartbeat()  # orbax save blocks too
                 else:
                     self.count += 1

@@ -73,6 +73,18 @@ class StallWatchdog:
             with self._lock:
                 self._last = time.monotonic()
 
+    def disarm(self) -> None:
+        """Suspend the stall clock until the next ``heartbeat()``.
+
+        Call immediately before a dispatch that is known to trigger a
+        first-use compile (e.g. the first eval_step of a run): remote
+        compiles take 5-15 min with no progress signal, and must not
+        count against the stall timeout any more than the very first
+        dispatch of the process does."""
+        if self.enabled:
+            with self._lock:
+                self._last = None
+
     def stop(self) -> None:
         self._stop.set()
         if self._thread is not None:
@@ -108,3 +120,37 @@ class StallWatchdog:
                 pass
         print(msg, flush=True)
         os._exit(STALL_EXIT_CODE)
+
+
+def device_reachability_gate(timeout_s: float = 300.0, who: str = "job",
+                             on_stall: Optional[Callable[[float], None]] = None,
+                             poll_s: float = 5.0,
+                             probe: Optional[Callable[[], None]] = None) -> None:
+    """Fail fast if the device tunnel is wedged.
+
+    A dead single-tenant claim can block a first transfer forever
+    (observed >4 h); every TPU-touching entry point (bench.py, cli.eval,
+    tools/parity_*) must round-trip a tiny transfer through this gate
+    before dispatching real work, so a wedged tunnel costs minutes, not
+    the caller's whole time budget. Exits ``STALL_EXIT_CODE`` (86) on
+    stall unless ``on_stall`` (tests) is given."""
+    import sys
+
+    def _default_stall(stalled: float) -> None:
+        print(f"{who}: device unreachable after {stalled:.0f}s "
+              f"(tunnel wedged); exiting {STALL_EXIT_CODE}",
+              file=sys.stderr, flush=True)
+        os._exit(STALL_EXIT_CODE)
+
+    if probe is None:  # ``probe`` is injectable for deterministic tests
+        def probe() -> None:
+            import jax.numpy as jnp
+
+            jnp.ones((8, 8)).block_until_ready()
+
+    wd = StallWatchdog(timeout_s, on_stall=on_stall or _default_stall,
+                       poll_s=poll_s)
+    wd.start()
+    wd.heartbeat()  # arm: the clock runs over the probe itself
+    probe()
+    wd.stop()

