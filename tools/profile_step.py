@@ -91,6 +91,64 @@ def run_workload(model_name: str, batch: int, size: int, out_dir: str,
         jax.block_until_ready(m["loss"])
 
 
+def _roofline(events: list, device_pids: set) -> None:
+    """Per-hlo_category roofline from the trace's own op metadata.
+
+    XLA's trace events carry ``bytes_accessed`` / ``model_flops`` /
+    ``hlo_category`` / ``source`` per op instance, which turns the trace
+    into a measured roofline: time + bytes -> achieved bandwidth per
+    category, plus a source-line attribution table (which model line each
+    millisecond belongs to). ``while`` aggregate lanes are excluded (inner
+    ops are counted directly); shares are of inner-op time."""
+    from collections import defaultdict as dd
+    cat_d, cat_b, cat_f, cat_n = dd(float), dd(float), dd(float), dd(int)
+    src_d, src_n = dd(float), dd(int)
+    nwhile, while_dur = 0, 0.0
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e or "args" not in e:
+            continue
+        if device_pids and e.get("pid") not in device_pids:
+            continue
+        a = e["args"]
+        cat = a.get("hlo_category")
+        if cat is None:
+            continue
+        if cat == "while":
+            nwhile += 1
+            while_dur += e["dur"]
+            continue
+        cat_d[cat] += e["dur"]
+        cat_n[cat] += 1
+        cat_b[cat] += float(a.get("bytes_accessed", 0) or 0)
+        cat_f[cat] += float(a.get("model_flops", 0) or 0)
+        src = a.get("source", "?")
+        src_d[src] += e["dur"]
+        src_n[src] += 1
+    steps = max(nwhile, 1)
+    tot = sum(cat_d.values())
+    if not tot:
+        return
+    if nwhile:
+        print(f"\nroofline: {nwhile} scanned dispatches, "
+              f"{while_dur / nwhile / 1e3:.1f} ms each")
+    print(f"per-category (per dispatch; inner-op total "
+          f"{tot / steps / 1e3:.1f} ms):")
+    print(f"{'category':28s} {'ms':>8s} {'share':>6s} {'GB':>8s} "
+          f"{'GB/s':>7s} {'TFLOP/s':>8s} {'count':>6s}")
+    for c, d in sorted(cat_d.items(), key=lambda kv: -kv[1]):
+        ms = d / steps / 1e3
+        if ms < 0.05:
+            continue
+        gb = cat_b[c] / steps / 1e9
+        bw = gb / (ms / 1e3)
+        tf = cat_f[c] / steps / 1e12 / (ms / 1e3)
+        print(f"{c:28s} {ms:8.2f} {100 * d / tot:5.1f}% {gb:8.2f} "
+              f"{bw:7.0f} {tf:8.1f} {cat_n[c] // steps:6d}")
+    print("top source lines:")
+    for s, d in sorted(src_d.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  {d / steps / 1e3:8.2f} ms  x{src_n[s] // steps:<6d} {s}")
+
+
 def summarize(out_dir: str, top_k: int = 30, per_op: bool = False) -> list:
     """Parse trace.json.gz event durations; rank ops by total device time.
 
@@ -143,6 +201,7 @@ def summarize(out_dir: str, top_k: int = 30, per_op: bool = False) -> list:
             instances[name.lstrip("%")] += e["dur"]
 
     ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:top_k]
+    _roofline(events, device_pids)
     total = sum(totals.values())
     print(f"trace: {path}")
     if n_steps:
