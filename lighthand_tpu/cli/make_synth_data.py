@@ -55,9 +55,13 @@ def write_lighthand_tree(root: str, phase: str, n: int, seed: int,
     for i in range(n):
         rng = np.random.default_rng(seed * 1_000_003 + i)
         joints = synth_hand_joints(rng, size)
-        img = render_hand(joints, rng, size)
         fname = os.path.join(img_dir, f"{i:07d}.jpg")
-        _write_jpg(fname, img)
+        # Resume fast-path: images are a pure function of (seed, i), so a
+        # file left by an interrupted run is already correct — skip the
+        # render (the expensive part) and keep only the joints for meta.
+        if not os.path.exists(fname):
+            img = render_hand(joints, rng, size)
+            _write_jpg(fname, img)
         meta.append({"file_name": fname, "joint_2d": joints.tolist()})
         if log_every and (i + 1) % log_every == 0:
             rate = (i + 1) / (time.time() - t0)
