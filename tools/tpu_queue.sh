@@ -1,15 +1,24 @@
 #!/bin/bash
-# Round-4 TPU work queue — run ONCE when the tunnel recovers (the probe
-# loop in /tmp invokes this; or run by hand). Single-tenant device: one
-# job at a time, ~90 s between jobs for the claim to release. Every job
-# carries the stall watchdog so a re-wedge costs minutes, not hours; on
-# exit 86 (wedge) the queue stops — later jobs would only hang too.
+# Round-4 TPU work queue — run ONCE when the tunnel recovers (or by
+# hand). Single-tenant device: one job at a time, ~90 s between jobs for
+# the claim to release. Every job carries the stall watchdog so a
+# re-wedge costs minutes, not hours.
+#
+# Wedge policy (updated after the 15:53 re-wedge: the hrnet_synth run
+# stalled 301 s right after its first cold-compiled dispatch, and the
+# probe 3 min after the kill round-tripped in 11 s — the claim released
+# with the process): exit 86 no longer aborts the whole queue.
+# Observed behavior is that a wedge often CLEARS when the wedged process
+# exits, so each run gets up to $ATTEMPTS tries, separated by a probe
+# loop that waits for the tunnel to answer again. Training runs resume
+# from checkpoint-good (no --reset), so retries lose at most one
+# unfinished epoch; compiles are served from the persistent XLA cache.
 #
 # Queue source: VERDICT.md round-3 item 1 (the runs the outage cut):
-#   a. headline bench (green BENCH artifact material)
-#   b. resume output/hrnet/ours/hrnet_synth (epoch 3/16 at cut) -> eval
-#   c. resume output/simplebaseline/ours/synth20k (epoch 8, count 0/12)
-#   d. re-profile the shipped step (VERDICT item 2, roofline refresh)
+#   b. train output/hrnet/ours/hrnet_synth from scratch (the re-image
+#      wiped the round-3 epoch-3 checkpoint) -> cli.eval harness
+#   c. synth20k (fresh for the same reason)
+#   d. frei_e2e 60-epoch natural-stop story (VERDICT item 6) -> eval
 set -u
 cd /root/repo
 LOCK=/tmp/tpu_queue.running
@@ -32,25 +41,51 @@ resume_filler() {
 }
 trap resume_filler EXIT
 
-run() { # run <name> <timeout_s> <cmd...>
-    local name=$1 tmo=$2; shift 2
-    echo "--- $name: $* ($(date))"
-    timeout "$tmo" "$@"
-    local rc=$?
-    echo "--- $name rc=$rc ($(date))"
-    if [ $rc -eq 86 ]; then
-        echo "=== tunnel re-wedged during $name; queue stopped ==="
-        rm -f "$LOCK"   # allow a later retry to resume the queue
-        exit 86
-    fi
-    sleep 90  # let the single-tenant claim release
-    return $rc
+wait_for_tunnel() { # poll the probe until the tunnel answers (<= ~40 min)
+    for i in $(seq 1 20); do
+        sleep 120
+        timeout 300 python tools/probe_tunnel.py 120 && return 0
+        echo "... tunnel still wedged (probe $i/20, $(date))"
+    done
+    return 1
 }
 
-run probe 300 python tools/probe_tunnel.py 120 || exit 1
+ATTEMPTS=3
+run() { # run <name> <timeout_s> <cmd...>; retries exit-86 wedges
+    local name=$1 tmo=$2; shift 2
+    local rc attempt
+    for attempt in $(seq 1 $ATTEMPTS); do
+        echo "--- $name (try $attempt/$ATTEMPTS): $* ($(date))"
+        timeout "$tmo" "$@"
+        rc=$?
+        echo "--- $name rc=$rc ($(date))"
+        if [ $rc -ne 86 ]; then
+            sleep 90  # let the single-tenant claim release
+            return $rc
+        fi
+        echo "=== tunnel wedged during $name; probing for recovery ==="
+        if ! wait_for_tunnel; then
+            echo "=== tunnel never recovered; queue stopped ($(date)) ==="
+            rm -f "$LOCK"   # allow a later invocation to resume the queue
+            exit 86
+        fi
+        sleep 30
+    done
+    echo "=== $name wedged $ATTEMPTS times; skipping to next job ==="
+    return 86
+}
 
-run bench 5400 python bench.py
-cp -f /root/repo/BENCH_TABLE.json /tmp/BENCH_TABLE.pre_r4.json 2>/dev/null
+# bench + profile already ran green earlier this round (12:27 / 12:54 on
+# 2026-08-18 — /tmp/bench_r4.log, /tmp/profile_r4.log); the queue now
+# carries only the training evidence runs, which need the synthetic data
+# trees — wait for the datagen to finish before claiming the device.
+for i in $(seq 1 240); do
+    grep -q '^done$' /tmp/make_data.log 2>/dev/null && break
+    sleep 30
+done
+grep -q '^done$' /tmp/make_data.log || { echo "datagen never finished"; rm -f "$LOCK"; exit 1; }
+
+run probe 300 python tools/probe_tunnel.py 120 || exit 1
 
 run hrnet_synth 28800 python -m lighthand_tpu.cli.train \
     --root hrnet/ours --name hrnet_synth \
@@ -60,9 +95,6 @@ run hrnet_synth 28800 python -m lighthand_tpu.cli.train \
 run hrnet_eval 7200 python -m lighthand_tpu.cli.eval \
     --root hrnet/ours --name hrnet_synth --eval --dataset-root _data \
     --stall-timeout 300
-
-run profile 3600 python tools/profile_step.py --steps 8 --per-op \
-    --out /tmp/lh_trace_r4
 
 run synth20k 28800 python -m lighthand_tpu.cli.train \
     --root simplebaseline/ours --name synth20k \
