@@ -77,6 +77,10 @@ class TrainConfig:
     # this long (single-tenant tunnel wedge guard, train/watchdog.py);
     # 0 disables. Arms only after the first completed dispatch, so the
     # minutes-long first remote compile never counts.
+    rss_limit_gb: float = -1.0     # exit(86) at the epoch boundary when
+    # host RSS crosses this (tunnel-client buffer leak guard,
+    # watchdog.py:check_rss_limit); -1 = auto (80% of MemTotal),
+    # 0 disables.
 
 
 @dataclasses.dataclass
@@ -202,6 +206,12 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
                         help="exit(86) if no training progress for this "
                              "many seconds — wedged-tunnel guard "
                              "(0 disables)")
+    parser.add_argument("--rss-limit-gb", dest="rss_limit_gb",
+                        default=-1.0, type=float,
+                        help="exit(86) at the epoch boundary when host "
+                             "RSS crosses this many GB — tunnel-client "
+                             "buffer-leak guard (-1 = auto: 80%% of "
+                             "MemTotal, 0 disables)")
     parser.add_argument("--platform", default=None,
                         choices=("cpu", "tpu", "axon"),
                         help="force the JAX backend (default: the "
@@ -251,6 +261,7 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
             rot_aug=a.rot_aug,
             trace=a.trace,
             stall_timeout_s=a.stall_timeout_s,
+            rss_limit_gb=a.rss_limit_gb,
         ),
         eval=EvalConfig(eval=a.eval, test=a.test, plt=a.plt,
                         plt_max=a.plt_max),

@@ -164,8 +164,12 @@ class Trainer:
             jitter=False, out_dtype=self.policy.compute_dtype)  # eval path
         self.writer = ScalarWriter(cfg.tensorboard_dir,
                                    jsonl_dir=cfg.output_dir)
-        from lighthand_tpu.train.watchdog import StallWatchdog
+        from lighthand_tpu.train.watchdog import (
+            StallWatchdog,
+            check_rss_limit,
+        )
 
+        self._check_rss_limit = check_rss_limit
         # wedged-tunnel guard: exit(86) if no completed dispatch for
         # stall_timeout_s (arms at the first heartbeat, so the minutes-long
         # first remote compile never counts; 0 disables)
@@ -431,6 +435,9 @@ class Trainer:
                             f"early stop at epoch {epoch} "
                             f"(count={self.count})")
                         break
+                # after the checkpoint decision: a leaked-buffer OOM
+                # becomes a clean exit-86 resume instead of SIGKILL
+                self._check_rss_limit(cfg.train.rss_limit_gb, self.logger)
         finally:
             self.watchdog.stop()
         self.writer.close()

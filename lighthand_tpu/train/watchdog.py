@@ -154,3 +154,63 @@ def device_reachability_gate(timeout_s: float = 300.0, who: str = "job",
     wd.heartbeat()  # arm: the clock runs over the probe itself
     probe()
     wd.stop()
+
+
+def host_rss_gb() -> float:
+    """Resident set size of this process in GB (0.0 if unreadable)."""
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE") / 1e9
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return 0.0
+
+
+def resolve_rss_limit_gb(limit_gb: float) -> float:
+    """-1 = auto (80% of MemTotal), 0 = disabled, >0 = explicit GB."""
+    if limit_gb >= 0:
+        return limit_gb
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) * 1024 / 1e9 * 0.8
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        pass
+    return 0.0
+
+
+def check_rss_limit(limit_gb: float, logger=None,
+                    on_exceed: Optional[Callable[[float, float], None]] = None
+                    ) -> float:
+    """Exit ``STALL_EXIT_CODE`` when host RSS crosses the limit.
+
+    The remote-tunnel client leaks per-transfer buffers (~3 GB per
+    8k-image epoch observed); a long run eventually exhausts host RAM
+    and dies with SIGKILL(137), which retry harnesses keyed on exit 86
+    (tools/tpu_queue.sh) do NOT resume. Calling this at every epoch
+    boundary — right after the checkpoint decision — converts the OOM
+    into the same clean exit-86 / resume-from-checkpoint-good protocol
+    as a wedge, losing nothing. ``on_exceed(rss, limit)`` (tests)
+    replaces the default log-and-``os._exit``. Returns the resolved
+    limit."""
+    limit = resolve_rss_limit_gb(limit_gb)
+    if limit <= 0:
+        return limit
+    rss = host_rss_gb()
+    if rss < limit:
+        return limit
+    if on_exceed is not None:
+        on_exceed(rss, limit)
+        return limit
+    msg = (f"RSS LIMIT: host rss {rss:.1f} GB >= limit {limit:.1f} GB "
+           f"(tunnel-client buffer growth). Exiting with code "
+           f"{STALL_EXIT_CODE} at the epoch boundary; resume from "
+           f"checkpoint-good.")
+    if logger is not None:
+        try:
+            logger.critical(msg)
+        except Exception:
+            pass
+    print(msg, flush=True)
+    os._exit(STALL_EXIT_CODE)
+    return limit  # pragma: no cover

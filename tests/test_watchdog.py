@@ -99,3 +99,34 @@ def test_stop_prevents_firing_and_disabled_is_noop():
     assert off._thread is None
     off.stop()
     assert not fired.is_set()
+
+
+def test_rss_limit_resolution_and_exceed_paths():
+    from lighthand_tpu.train.watchdog import (
+        check_rss_limit,
+        host_rss_gb,
+        resolve_rss_limit_gb,
+    )
+
+    rss = host_rss_gb()
+    assert rss > 0.01  # this process certainly holds >10 MB
+
+    # explicit limit passes through; auto resolves to 80% of MemTotal
+    assert resolve_rss_limit_gb(42.0) == 42.0
+    auto = resolve_rss_limit_gb(-1.0)
+    assert auto > rss  # sanity: the test runner is nowhere near 80% RAM
+
+    # disabled: no read, no fire
+    assert check_rss_limit(0.0) == 0.0
+
+    # over the limit: on_exceed replaces os._exit
+    fired = []
+    check_rss_limit(rss / 2.0,
+                    on_exceed=lambda r, lim: fired.append((r, lim)))
+    assert fired and fired[0][0] >= fired[0][1]
+
+    # under the limit: no fire
+    fired.clear()
+    check_rss_limit(rss + 100.0,
+                    on_exceed=lambda r, lim: fired.append((r, lim)))
+    assert not fired
