@@ -87,15 +87,9 @@ grep -q '^done$' /tmp/make_data.log || { echo "datagen never finished"; rm -f "$
 
 run probe 300 python tools/probe_tunnel.py 120 || exit 1
 
-run hrnet_synth 28800 python -m lighthand_tpu.cli.train \
-    --root hrnet/ours --name hrnet_synth \
-    --epoch 16 --count 8 --num_our 8000 --batch_size 64 \
-    --dataset-root _data --yes --stall-timeout 300
-
-run hrnet_eval 7200 python -m lighthand_tpu.cli.eval \
-    --root hrnet/ours --name hrnet_synth --eval --dataset-root _data \
-    --stall-timeout 300
-
+# hrnet_synth + hrnet_eval COMPLETED 2026-08-18 (PARITY_RESULTS §1b) —
+# round-5 order: resume synth20k (cut at epoch 2 to free the device for
+# the round-4 driver bench), then the frei natural-stop story.
 run synth20k 28800 python -m lighthand_tpu.cli.train \
     --root simplebaseline/ours --name synth20k \
     --epoch 40 --count 12 --batch_size 64 --num_our 20000 \
