@@ -161,3 +161,59 @@ def test_transfer_weights_only(tmp_path):
                     jax.tree_util.tree_leaves(warm.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(warm.step) == int(fresh.step)
+
+
+def test_trainer_interrupted_resume(tmp_path):
+    """Trainer-level resume: the operational loop every exit-86 guard
+    (stall watchdog, RSS limit, queue retry) relies on. Run A trains 2
+    epochs and checkpoints; run B re-instantiates the Trainer over the
+    same output tree with a larger epoch budget and must (a) restore the
+    best checkpoint (not reinit), (b) restart from best-epoch + 1 — the
+    'loses at most one unfinished epoch' contract — and (c) finish the
+    remaining epochs. Reference field semantics: dir.py:38-47."""
+    import json
+    import os
+
+    from lighthand_tpu.config import Config
+    from lighthand_tpu.train.loop import Trainer
+
+    def make_cfg(epochs):
+        cfg = Config(name="resnet18/ours/resume_t", root_path=str(tmp_path))
+        cfg.model.name = "resnet18"
+        cfg.model.precision = "f32"
+        cfg.data.dataset = "ours"
+        cfg.data.synthetic = True
+        cfg.data.image_size = 32
+        cfg.data.heatmap_size = 8
+        cfg.data.batch_size = 8
+        cfg.data.num_our = 16
+        cfg.data.num_workers = 2
+        cfg.train.epochs = epochs
+        cfg.train.early_stop_count = 50
+        cfg.train.visualize = False
+        cfg.output_dir = os.path.join(str(tmp_path), cfg.name)
+        cfg.tensorboard_dir = os.path.join(str(tmp_path), "tb")
+        return cfg
+
+    res_a = Trainer(make_cfg(epochs=2)).fit()
+    assert np.isfinite(res_a.val_loss)
+    marker_path = os.path.join(str(tmp_path), "resnet18/ours/resume_t",
+                               "last_checkpoint.json")
+    with open(marker_path) as f:
+        marker = json.load(f)
+    assert marker["model"] == {"name": "resnet18", "precision": "f32"}
+    best_epoch_a = marker["epoch"]
+    assert 0 <= best_epoch_a <= 1
+
+    trainer_b = Trainer(make_cfg(epochs=4))
+    # (a) restored, not reinitialized
+    assert np.isfinite(trainer_b.best_loss)
+    assert trainer_b.best_loss <= res_a.val_loss + 1e-6
+    # (b) resumes one past the best epoch
+    assert trainer_b.start_epoch == best_epoch_a + 1
+    res_b = trainer_b.fit()
+    # (c) the extended budget actually trained and never regressed best
+    assert np.isfinite(res_b.val_loss)
+    assert trainer_b.best_loss <= res_a.val_loss + 1e-6
+    with open(marker_path) as f:
+        assert json.load(f)["epoch"] >= best_epoch_a
