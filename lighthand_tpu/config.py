@@ -44,6 +44,9 @@ class DataConfig:
     shuffle_seed: int = 9001       # train.py:15 random_seed
     synthetic: bool = False        # fall back to generated data (testing/bench)
     prefetch: int = 2              # device-side double buffering depth
+    cache_crops: bool = True       # memmap decoded post-crop samples beside
+    # the dataset tree (data/cache.py) — every source is deterministic per
+    # index, so epochs 2+ skip cv2 entirely on this 1-core host
 
 
 @dataclasses.dataclass
@@ -186,6 +189,11 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
                              "here so trees can live anywhere)")
     parser.add_argument("--num-workers", dest="num_workers", default=8,
                         type=int)
+    parser.add_argument("--no-cache-crops", dest="cache_crops",
+                        action="store_false", default=True,
+                        help="disable the decoded-crop memmap cache "
+                             "(data/cache.py; on by default — sources are "
+                             "deterministic per index so it is lossless)")
     parser.add_argument("--yes", action="store_true",
                         help="answer yes to the --reset confirmation")
     parser.add_argument("--steps-per-dispatch", dest="steps_per_dispatch",
@@ -244,6 +252,7 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
             batch_size=a.batch_size,
             num_workers=a.num_workers,
             synthetic=a.synthetic,
+            cache_crops=a.cache_crops,
             **({"train_yaml": a.train_yaml} if a.train_yaml else {}),
         ),
         model=ModelConfig(name=a.model, precision=a.precision),

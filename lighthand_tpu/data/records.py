@@ -64,6 +64,11 @@ class SubsetSource(Source):
     def __getitem__(self, idx):
         return self.base[self.indices[idx]]
 
+    def getitems(self, indices) -> list:
+        # forward the mapped indices so the base's bulk path (native TSV
+        # reads, decoded-crop cache) stays active through a split
+        return self.base.getitems([self.indices[int(i)] for i in indices])
+
 
 class ConcatSource(Source):
     def __init__(self, *sources: Source):

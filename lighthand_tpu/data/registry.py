@@ -20,6 +20,7 @@ import os
 from typing import Tuple
 
 from lighthand_tpu.config import Config
+from lighthand_tpu.data.cache import maybe_cache
 from lighthand_tpu.data.records import Source, random_split_90_10
 from lighthand_tpu.data.synthetic import SyntheticHands
 
@@ -94,6 +95,21 @@ def build_dataset(cfg: Config, name: str = None) -> Tuple[Source, Source]:
                                  ratio_of_aug=cfg.data.ratio_of_aug,
                                  image_size=cfg.data.image_size)
         val = LightHandValSet(root, "eval", image_size=cfg.data.image_size)
+        annos = os.path.join(base, "annotations")
+        train = maybe_cache(
+            train, root,
+            f"ours-train|{cfg.data.image_size}|{cfg.data.num_our}"
+            f"|{cfg.data.ratio_of_aug}",
+            enabled=cfg.data.cache_crops,
+            fingerprint_paths=[
+                os.path.join(annos, "train", "CISLAB_train_data.json"),
+                os.path.join(annos, "train2", "CISLAB_train2_data.json"),
+            ])
+        val = maybe_cache(
+            val, root, f"ours-eval|{cfg.data.image_size}",
+            enabled=cfg.data.cache_crops,
+            fingerprint_paths=[
+                os.path.join(annos, "eval", "CISLAB_eval_data.json")])
         return train, val
 
     if name == "frei":
@@ -103,6 +119,18 @@ def build_dataset(cfg: Config, name: str = None) -> Tuple[Source, Source]:
 
         full = FreiHandTSVDataset(cfg.data.train_yaml, is_train=True,
                                   image_size=cfg.data.image_size)
+        # wrap BEFORE the split so cache rows live in full-dataset index
+        # space and both subsets share one memmap; fingerprint the image
+        # shard so a regenerated tree invalidates (frei aug is a pure
+        # function of (seed, idx) — freihand.py:138 — so caching it is
+        # lossless across epochs)
+        fp = [cfg.data.train_yaml]
+        if hasattr(full.img_tsv, "tsv_path"):
+            fp.append(full.img_tsv.tsv_path)
+        full = maybe_cache(
+            full, os.path.dirname(cfg.data.train_yaml) or ".",
+            f"frei-train|{cfg.data.image_size}|{full.seed}",
+            enabled=cfg.data.cache_crops, fingerprint_paths=fp)
         return random_split_90_10(full, seed=cfg.data.shuffle_seed)
 
     if name == "rhd":
@@ -110,8 +138,14 @@ def build_dataset(cfg: Config, name: str = None) -> Tuple[Source, Source]:
             return _synthetic_pair(cfg)
         from lighthand_tpu.data.rhd import RHDDataset
 
-        return (RHDDataset(root, "training", cfg.data.image_size),
-                RHDDataset(root, "evaluation", cfg.data.image_size))
+        return tuple(
+            maybe_cache(RHDDataset(root, ph, cfg.data.image_size), root,
+                        f"rhd-{ph}|{cfg.data.image_size}",
+                        enabled=cfg.data.cache_crops,
+                        fingerprint_paths=[os.path.join(
+                            root, "RHD_published_v2", ph,
+                            f"anno_{ph}.pickle")])
+            for ph in ("training", "evaluation"))
 
     if name == "interhand":
         if not os.path.isdir(os.path.join(root,
