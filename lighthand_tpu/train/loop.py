@@ -436,7 +436,12 @@ class Trainer:
                             f"(count={self.count})")
                         break
                 # after the checkpoint decision: a leaked-buffer OOM
-                # becomes a clean exit-86 resume instead of SIGKILL
+                # becomes a clean exit-86 resume instead of SIGKILL.
+                # Flush TB first — the exit path is os._exit, which skips
+                # the finally/close() and would drop buffered TB events
+                # (this boundary can afford a graceful flush; the
+                # watchdog-thread exit cannot).
+                self.writer.flush()
                 self._check_rss_limit(cfg.train.rss_limit_gb, self.logger)
         finally:
             self.watchdog.stop()

@@ -190,7 +190,10 @@ def check_rss_limit(limit_gb: float, logger=None,
     (tools/tpu_queue.sh) do NOT resume. Calling this at every epoch
     boundary — right after the checkpoint decision — converts the OOM
     into the same clean exit-86 / resume-from-checkpoint-good protocol
-    as a wedge, losing nothing. ``on_exceed(rss, limit)`` (tests)
+    as a wedge — losing at most the epochs since the last best
+    checkpoint, same as the wedge-retry contract (resume is from
+    checkpoint-good, the last val-loss improvement).
+    ``on_exceed(rss, limit)`` (tests)
     replaces the default log-and-``os._exit``. Returns the resolved
     limit."""
     limit = resolve_rss_limit_gb(limit_gb)

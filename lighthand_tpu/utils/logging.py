@@ -93,6 +93,14 @@ class ScalarWriter:
              "ts": time.time()}) + "\n")
         self._jsonl.flush()
 
+    def flush(self):
+        """Push buffered TB events to disk NOW — called before paths that
+        os._exit (check_rss_limit), which skip close() and would otherwise
+        drop up to ~2 min of buffered scalars (the jsonl channel flushes
+        per write and never needs this)."""
+        if self._tb is not None:
+            self._tb.flush()
+
     def close(self):
         if self._tb is not None:
             self._tb.close()

@@ -143,7 +143,12 @@ def rasterize_mesh(
     for tri in faces:
         z = verts_z[tri]
         if np.any(z <= near) or np.all(z >= far):
-            continue  # conservative near-plane cull, matching GL clipping
+            # conservative near-plane cull: drops the WHOLE triangle when
+            # any vertex is at z <= near (GL would clip such triangles and
+            # keep the visible part; the reference opendr renderer draws
+            # them). Harmless for the hand use case, where camera_t z is
+            # far from the near plane.
+            continue
         p = verts_px[tri]
         x0 = max(int(np.floor(p[:, 0].min())), 0)
         x1 = min(int(np.ceil(p[:, 0].max())) + 1, w)

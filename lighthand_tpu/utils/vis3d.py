@@ -7,7 +7,11 @@ Equivalent of the reference's vendored InterHand visualizers
 these return the rendered arrays/figures instead of dead-ending into
 commented-out `.save()` calls, use cv2 instead of PIL (one fewer
 import in the hot host path), and force the Agg backend so they run on
-headless pod workers.
+headless pod workers. `draw_text` also diverges cosmetically from
+renderer.py:235-257 on purpose: darker green (0,204,0) instead of
+(255,255,0) yellow, font scale 0.4 vs 0.45, '%.2f' vs '%.2g', dict
+insertion order vs sorted keys, and it whitens black letterbox pixels
+so captions stay legible over the margin.
 """
 
 from __future__ import annotations
@@ -174,8 +178,9 @@ def vis_3d_keypoints(
 
 def draw_text(input_image: np.ndarray, content: dict) -> np.ndarray:
     """Key/value caption lines in the top-left over a white margin
-    (renderer.py:235-257 semantics: green monospace-ish rows, floats
-    shortened to 2 decimals). Input/output are float images in [0,1]."""
+    (renderer.py:235-257 role; cosmetic divergences listed in the module
+    docstring's differences-by-design section). Input/output are float
+    images in [0,1]."""
     import cv2
 
     image = np.asarray(input_image, dtype=np.float64).copy()
