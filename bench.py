@@ -47,8 +47,22 @@ EXTRA_CONFIGS = [
     ("simplebaseline", 256, 224, "bf16", "msra"),
     ("hrnet_w48", 64, 256, "bf16", "msra"),
     ("hrnet_w32", 128, 256, "all_bf16", "msra"),
+    ("hrnet_w32", 128, 256, "int8_fwd", "msra"),
     ("simplebaseline", 256, 256, "bf16", "per_sample"),
 ]
+
+# Per-config reference estimates (img/s), derived by the same byte-
+# accounting that grounds the headline 330: conv fwd+bwd traffic per
+# image (tools/conv_bytes.py, fp32) -> A100-bandwidth ceiling -> times
+# the realized fraction the 330 pick implies for HRNet-W32@256
+# (330/1910 = 0.173). Equivalently: 330 x (W32 bytes / config bytes).
+# See BASELINE.md "Per-config reference estimates (round 5)".
+REF_ESTIMATES = {
+    ("hrnet_w32", 256): 330.0,
+    ("simplebaseline", 224): 669.0,
+    ("simplebaseline", 256): 531.0,
+    ("hrnet_w48", 256): 237.0,
+}
 
 
 def measure(model_name: str, batch: int, size: int,
@@ -69,6 +83,7 @@ def measure(model_name: str, batch: int, size: int,
     n_chips = len(jax.devices())
 
     policy = (DTypePolicy.all_bf16() if precision == "all_bf16"
+              else DTypePolicy.int8_fwd() if precision == "int8_fwd"
               else DTypePolicy())
     model = get_model(model_name, policy=policy)
     state = create_train_state(model, cpu_prng_key(0),
@@ -144,7 +159,13 @@ def main() -> None:
     ips_per_chip = measure("hrnet_w32", BATCH, SIZE, "bf16")
 
     if "--all" in sys.argv:
-        table = {f"hrnet_w32@{SIZE} bs{BATCH} bf16": round(ips_per_chip, 2)}
+        def row(model_name, size, ips):
+            ref = REF_ESTIMATES[(model_name, size)]
+            return {"img_per_sec": round(ips, 2), "ref_estimate": ref,
+                    "vs_ref": round(ips / ref, 2)}
+
+        table = {f"hrnet_w32@{SIZE} bs{BATCH} bf16":
+                 row("hrnet_w32", SIZE, ips_per_chip)}
         print(f"# hrnet_w32@{SIZE} bs{BATCH} bf16 (headline): "
               f"{ips_per_chip:.2f} img/s/chip", flush=True)
         for model_name, batch, size, precision, style in EXTRA_CONFIGS:
@@ -153,8 +174,13 @@ def main() -> None:
             key = f"{model_name}@{size} bs{batch} {precision}"
             if style != "msra":
                 key += f" {style}(mix)"
-            table[key] = round(ips, 2)
-            print(f"# {key}: {ips:.2f} img/s/chip", flush=True)
+            table[key] = row(model_name, size, ips)
+            print(f"# {key}: {ips:.2f} img/s/chip "
+                  f"({table[key]['vs_ref']}x ref)", flush=True)
+        table["_ref_method"] = (
+            "ref_estimate = 330 x (hrnet_w32 conv bytes / config conv "
+            "bytes), tools/conv_bytes.py; BASELINE.md 'Per-config "
+            "reference estimates (round 5)'")
         with open("BENCH_TABLE.json", "w") as f:
             json.dump(table, f, indent=1)
     print(json.dumps({

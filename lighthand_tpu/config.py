@@ -53,7 +53,7 @@ class DataConfig:
 class ModelConfig:
     name: str = "simplebaseline"   # simplebaseline | hrnet | hrnet_w32 | ...
     num_joints: int = 21
-    precision: str = "bf16"        # bf16 | f32
+    precision: str = "bf16"        # bf16 | f32 | all_bf16 | int8_fwd
 
 
 @dataclasses.dataclass
@@ -177,7 +177,7 @@ def parse_args(argv: Optional[list[str]] = None, phase: str = "train") -> Config
     parser.add_argument("--mesh-data", dest="mesh_data", default=-1, type=int)
     parser.add_argument("--mesh-model", dest="mesh_model", default=1, type=int)
     parser.add_argument("--precision", default="bf16",
-                        choices=("bf16", "f32", "all_bf16"))
+                        choices=("bf16", "f32", "all_bf16", "int8_fwd"))
     parser.add_argument("--synthetic", action="store_true",
                         help="train on generated data (smoke tests / bench)")
     parser.add_argument("--dataset-root", dest="dataset_root",

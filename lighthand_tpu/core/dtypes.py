@@ -22,6 +22,12 @@ class DTypePolicy:
     # 64x64 spatial windows); bf16 cuts normalization HBM traffic on a
     # bandwidth-bound model at some numerics risk.
     bn_dtype: jnp.dtype = jnp.float32
+    # int8 forward convs (per-channel weight quant + static-clip
+    # activation quant, STE backward) — the measured ~2x conv-kernel
+    # speedup on v5e (BASELINE.md "The int8 lever"). Backbone ConvBN
+    # only; deconv head / final 1x1 stay at compute_dtype.
+    quant_fwd: bool = False
+    act_clip: float = 8.0  # symmetric activation clip for quant_fwd
 
     @classmethod
     def full_precision(cls) -> "DTypePolicy":
@@ -30,6 +36,10 @@ class DTypePolicy:
     @classmethod
     def all_bf16(cls) -> "DTypePolicy":
         return cls(bn_dtype=jnp.bfloat16)
+
+    @classmethod
+    def int8_fwd(cls) -> "DTypePolicy":
+        return cls(quant_fwd=True)
 
 
 DEFAULT_POLICY = DTypePolicy()

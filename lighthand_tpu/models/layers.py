@@ -43,6 +43,31 @@ def torch_bias_init(fan_in: int):
     return init
 
 
+class QuantConv(nn.Module):
+    """int8-forward conv (ops/quant.py:int8_conv): same param tree as the
+    nn.Conv it replaces (pass ``name="Conv_0"``), so bf16 and int8_fwd
+    policies share checkpoints and the torch transplant path."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    padding: Any
+    act_clip: float
+    compute_dtype: Any
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from lighthand_tpu.ops.quant import int8_conv
+
+        kh, kw = self.kernel_size
+        w = self.param("kernel", TORCH_CONV_KERNEL_INIT,
+                       (kh, kw, x.shape[-1], self.features),
+                       self.param_dtype)
+        return int8_conv(x, w, self.strides, self.padding,
+                         self.act_clip, self.compute_dtype)
+
+
 class ConvBN(nn.Module):
     """Conv -> BatchNorm (no bias on the conv, like every reference conv)."""
 
@@ -60,16 +85,29 @@ class ConvBN(nn.Module):
         # misalignment that breaks exact forward equivalence with the
         # reference (verified by tests/test_transplant.py).
         p = self.kernel // 2
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=((p, p), (p, p)) if self.kernel > 1 else "VALID",
-            use_bias=False,
-            kernel_init=TORCH_CONV_KERNEL_INIT,
-            dtype=self.policy.compute_dtype,
-            param_dtype=self.policy.param_dtype,
-        )(x)
+        padding = ((p, p), (p, p)) if self.kernel > 1 else "VALID"
+        if self.policy.quant_fwd:
+            x = QuantConv(
+                self.features,
+                kernel_size=(self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=padding,
+                act_clip=self.policy.act_clip,
+                compute_dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype,
+                name="Conv_0",  # param-tree parity with the nn.Conv path
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                padding=padding,
+                use_bias=False,
+                kernel_init=TORCH_CONV_KERNEL_INIT,
+                dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype,
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,

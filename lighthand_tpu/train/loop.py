@@ -61,7 +61,9 @@ def _policy(cfg: Config) -> DTypePolicy:
     if cfg.model.precision == "f32":
         return DTypePolicy.full_precision()
     if cfg.model.precision == "all_bf16":
-        return DTypePolicy.all_bf16()  # bf16 BatchNorm too (+6% on v5e)
+        return DTypePolicy.all_bf16()  # bf16 BatchNorm stats (measured: neutral)
+    if cfg.model.precision == "int8_fwd":
+        return DTypePolicy.int8_fwd()  # int8 forward convs, STE backward
     return DTypePolicy()
 
 
