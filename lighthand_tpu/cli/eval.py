@@ -36,6 +36,22 @@ THRESHOLD_REGIMES = [
 ]
 
 
+def serving_policy(precision: str, info) -> DTypePolicy:
+    """Pick the per-checkpoint inference policy.
+
+    An explicit ``--precision int8_fwd`` is a serving override (quantized
+    forward on any checkpoint — the int8 param tree matches bf16's);
+    otherwise the checkpoint's recorded training precision wins, falling
+    back to the CLI default."""
+    if precision == "int8_fwd":
+        return DTypePolicy.int8_fwd()
+    if info and info.get("name") and info.get("precision") == "f32":
+        return DTypePolicy.full_precision()
+    if not (info and info.get("name")) and precision == "f32":
+        return DTypePolicy.full_precision()
+    return DTypePolicy()
+
+
 def find_checkpoints(model_path: str):
     """Collect checkpoint dirs under a run tree (reference collected *.bin,
     wearable_eval_2d.py:33-37; ours are orbax directories)."""
@@ -85,8 +101,6 @@ def main(argv=None) -> int:
         print(f"no checkpoints under {model_path}", file=sys.stderr)
         return 1
 
-    policy = (DTypePolicy() if cfg.model.precision == "bf16"
-              else DTypePolicy.full_precision())
     size = cfg.data.image_size
     preprocess = DevicePreprocessor(jitter=False)
     predict_step = make_predict_step(stride=size / cfg.data.heatmap_size)
@@ -106,15 +120,16 @@ def main(argv=None) -> int:
         info = read_model_info(ckpt)
         if info and info.get("name"):
             model_name = info["name"]
-            ckpt_policy = (DTypePolicy.full_precision()
-                           if info.get("precision") == "f32"
-                           else DTypePolicy())
         else:
             model_name = run_name.split("/")[0] \
                 if run_name.split("/")[0] in ("simplebaseline", "hrnet") \
                 else cfg.model.name
-            ckpt_policy = policy
-        model = get_model(model_name, policy=ckpt_policy)
+        # --precision int8_fwd is a SERVING override: quantized-forward
+        # convs (ops/quant.py) on any checkpoint — int8_fwd shares the
+        # bf16 param tree, so a bf16-trained checkpoint serves quantized
+        # unchanged. Otherwise the checkpoint's recorded precision wins.
+        model = get_model(model_name,
+                          policy=serving_policy(cfg.model.precision, info))
         state = create_train_state(model, cpu_prng_key(0),
                                    input_shape=(1, size, size, 3))
         state = jax.device_put(state, replicated_sharding(mesh))

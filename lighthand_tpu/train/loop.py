@@ -99,6 +99,7 @@ class Trainer:
         self.logger = setup_logger(cfg.name, cfg.output_dir)
         t0 = time.time()
         self.mesh = create_mesh(MeshSpec(cfg.mesh.data, cfg.mesh.model))
+        self.logger.debug(f"create mesh: {time.time() - t0:.1f}s")
         self.policy = _policy(cfg)
 
         self.model = get_model(cfg.model.name, cfg.model.num_joints,

@@ -99,9 +99,14 @@ def _init_variables(model: nn.Module, rng: jax.Array, init_shape,
             return model.init(rng, jnp.zeros(init_shape, jnp.float32),
                               train=False)
 
+    import logging
+    import time
+
+    log = logging.getLogger("lighthand_tpu.init")
     if not cache:
         return fresh()
     if os.path.isfile(cache_path):
+        t0 = time.time()
         template = jax.eval_shape(
             lambda k: model.init(k, jnp.zeros(init_shape, jnp.float32),
                                  train=False), rng)
@@ -110,7 +115,9 @@ def _init_variables(model: nn.Module, rng: jax.Array, init_shape,
         template = jax.tree_util.tree_map(
             lambda s: np.zeros(s.shape, s.dtype), template)
         with open(cache_path, "rb") as f:
-            return serialization.from_bytes(template, f.read())
+            out = serialization.from_bytes(template, f.read())
+        log.debug("init cache hit (%s): %.1fs", key, time.time() - t0)
+        return out
     variables = fresh()
     os.makedirs(cache_dir, exist_ok=True)
     tmp = cache_path + ".tmp"
@@ -126,17 +133,40 @@ def create_train_state(
     input_shape=(1, 256, 256, 3),
     lr: float = 1e-3,
 ) -> TrainState:
+    import logging
+    import time
+
+    log = logging.getLogger("lighthand_tpu.init")
     init_shape = (1, min(input_shape[1], 64), min(input_shape[2], 64),
                   input_shape[3])
+    t0 = time.time()
     variables = _init_variables(model, rng, init_shape)
+    log.debug("model init: %.1fs", time.time() - t0)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(lr)
+    # Pin the optimizer init (and the step scalar) to the host CPU:
+    # adam's init allocates zeros-like for EVERY param leaf, and doing
+    # that eagerly on the default device is one blocking dispatch per
+    # leaf — ~530 round-trips through a remote-device tunnel (measured
+    # 18 min of "init params" on the synth20k run, 2026-08-19). Callers
+    # that train on device already device_put the whole state once
+    # (train/loop.py, bench.py); everyone else wants host arrays anyway.
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    t0 = time.time()
+    with ctx:
+        opt_state = tx.init(params)
+        step = jnp.zeros((), jnp.int32)
+    log.debug("optimizer init (cpu-pinned): %.1fs", time.time() - t0)
     return TrainState(
-        step=jnp.zeros((), jnp.int32),
+        step=step,
         params=params,
         batch_stats=batch_stats,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         apply_fn=model.apply,
         tx=tx,
     )

@@ -40,11 +40,23 @@ class FlushFileHandler(logging.FileHandler):
         self.flush()
 
 
+def _bind_diag_logger(logger: logging.Logger) -> None:
+    """Route the library-internal diagnostics logger (init timings in
+    train/state.py) into the run's sinks — the run logger is a named
+    logger with propagate=False, so module-level loggers would otherwise
+    go nowhere."""
+    diag = logging.getLogger("lighthand_tpu.init")
+    diag.setLevel(logging.DEBUG)
+    diag.propagate = False
+    diag.handlers = list(logger.handlers)
+
+
 def setup_logger(name: str, save_dir: Optional[str]) -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(logging.DEBUG)
     logger.propagate = False
     if logger.handlers:
+        _bind_diag_logger(logger)
         return logger
     if not is_host_leader():
         logger.addHandler(logging.NullHandler())
@@ -61,6 +73,7 @@ def setup_logger(name: str, save_dir: Optional[str]) -> logging.Logger:
             logging.Formatter("%(asctime)s %(levelname)s: %(message)s")
         )
         logger.addHandler(fh)
+    _bind_diag_logger(logger)
     return logger
 
 

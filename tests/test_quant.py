@@ -89,3 +89,23 @@ def test_int8_policy_trains(rng):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+
+
+def test_serving_policy_override():
+    """cli.eval --precision int8_fwd must force the quantized forward on
+    ANY checkpoint (shared param tree makes that safe); otherwise the
+    checkpoint's recorded precision wins, then the CLI default."""
+    from lighthand_tpu.cli.eval import serving_policy
+
+    f32_info = {"name": "simplebaseline", "precision": "f32"}
+    bf16_info = {"name": "simplebaseline", "precision": "bf16"}
+
+    assert serving_policy("int8_fwd", f32_info).quant_fwd
+    assert serving_policy("int8_fwd", None).quant_fwd
+    assert serving_policy("bf16", f32_info).param_dtype == jnp.float32
+    assert serving_policy("bf16", f32_info).compute_dtype == jnp.float32
+    assert serving_policy("bf16", bf16_info).compute_dtype == jnp.bfloat16
+    assert not serving_policy("bf16", bf16_info).quant_fwd
+    # legacy checkpoint (no model_info): CLI precision is the fallback
+    assert serving_policy("f32", None).compute_dtype == jnp.float32
+    assert serving_policy("bf16", None).compute_dtype == jnp.bfloat16

@@ -31,7 +31,11 @@ wait_for_tunnel() { # poll the probe until the tunnel answers (<= ~40 min)
     return 1
 }
 
-ATTEMPTS=3
+# exit 86 is no longer only a wedge: the RSS-limit guard converts the
+# tunnel-client buffer leak (~4.3 GB/epoch on this run, limit ~100 GB)
+# into a routine resumable exit every ~20 epochs, so a 34-epoch resume
+# legitimately consumes 2+ attempts before any real wedge happens.
+ATTEMPTS=6
 run() { # run <name> <timeout_s> <cmd...>; retries exit-86 wedges
     local name=$1 tmo=$2; shift 2
     local rc attempt
